@@ -1,0 +1,330 @@
+"""Clebsch-Gordan tensor products as static plans + jnp contractions.
+
+Re-derivation of the e3nn TensorProduct machinery the reference depends on
+(e3nn 0.5.1 `o3.TensorProduct` / `o3.FullyConnectedTensorProduct` /
+`o3.Linear`; used at reference nn/utils.py:230, nn/conv.py:59-84,
+nn/nodewise.py:111). Instead of torchscript codegen, a `TensorProductPlan`
+is a *static* description (instructions + per-path CG tables + normalization
+constants) built once at model-construction time; its `apply` is a chain of
+einsums that XLA fuses and tiles onto the MXU. A Pallas fused
+gather-TP-scatter kernel consumes the same plan (matten_tpu/kernels).
+
+Normalization follows the e3nn convention the reference's training dynamics
+assume: `irrep_normalization="component"`, `path_normalization="element"`,
+weights drawn from N(0,1) and the variance correction applied in the
+forward pass (path_weight = sqrt(ir_out.dim / fan_in)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from matten_tpu.ops.irreps import Irrep, Irreps
+from matten_tpu.ops.wigner import wigner_3j
+
+__all__ = [
+    "Instruction",
+    "TensorProductPlan",
+    "fully_connected_tp_plan",
+    "uvu_tp_plan",
+    "LinearPlan",
+]
+
+
+class Instruction(NamedTuple):
+    i_in1: int
+    i_in2: int
+    i_out: int
+    mode: str  # "uvw" | "uvu"
+    has_weight: bool
+
+
+class TensorProductPlan:
+    """Static tensor-product plan: irreps metadata, instructions, constants.
+
+    Hashable/immutable after construction; safe to close over in jitted fns.
+    """
+
+    def __init__(
+        self,
+        irreps_in1: Irreps,
+        irreps_in2: Irreps,
+        irreps_out: Irreps,
+        instructions: Sequence[Instruction],
+        irrep_normalization: str = "component",
+        path_normalization: str = "element",
+    ):
+        self.irreps_in1 = Irreps(irreps_in1)
+        self.irreps_in2 = Irreps(irreps_in2)
+        self.irreps_out = Irreps(irreps_out)
+        self.instructions = tuple(Instruction(*i) for i in instructions)
+
+        def num_elements(ins: Instruction) -> int:
+            if ins.mode == "uvw":
+                return self.irreps_in1[ins.i_in1].mul * self.irreps_in2[ins.i_in2].mul
+            if ins.mode == "uvu":
+                return self.irreps_in2[ins.i_in2].mul
+            raise ValueError(f"unsupported mode {ins.mode}")
+
+        # variance-preserving path weights
+        self.path_weights: List[float] = []
+        for ins in self.instructions:
+            ir_out = self.irreps_out[ins.i_out].ir
+            if irrep_normalization == "component":
+                num = ir_out.dim
+            elif irrep_normalization == "norm":
+                num = (
+                    self.irreps_in1[ins.i_in1].ir.dim
+                    * self.irreps_in2[ins.i_in2].ir.dim
+                )
+            elif irrep_normalization == "none":
+                num = 1
+            else:
+                raise ValueError(irrep_normalization)
+            if path_normalization == "element":
+                den = sum(
+                    num_elements(j)
+                    for j in self.instructions
+                    if j.i_out == ins.i_out
+                )
+            elif path_normalization == "path":
+                den = num_elements(ins) * sum(
+                    1 for j in self.instructions if j.i_out == ins.i_out
+                )
+            elif path_normalization == "none":
+                den = 1
+            else:
+                raise ValueError(path_normalization)
+            self.path_weights.append(float(np.sqrt(num / max(den, 1))))
+
+        # weight bookkeeping
+        self.weight_shapes: List[Tuple[int, ...]] = []
+        for ins in self.instructions:
+            mul1 = self.irreps_in1[ins.i_in1].mul
+            mul2 = self.irreps_in2[ins.i_in2].mul
+            mul_out = self.irreps_out[ins.i_out].mul
+            if not ins.has_weight:
+                self.weight_shapes.append(())
+            elif ins.mode == "uvw":
+                self.weight_shapes.append((mul1, mul2, mul_out))
+            elif ins.mode == "uvu":
+                assert mul_out == mul1, "uvu requires mul_out == mul_in1"
+                self.weight_shapes.append((mul1, mul2))
+        self.weight_numel = int(
+            sum(int(np.prod(s)) for s in self.weight_shapes if s)
+        )
+
+        self._in1_slices = self.irreps_in1.slices()
+        self._in2_slices = self.irreps_in2.slices()
+        self._out_slices = self.irreps_out.slices()
+
+    # ------------------------------------------------------------------
+    def split_weights(self, w: jnp.ndarray) -> List[Optional[jnp.ndarray]]:
+        """Split a flat [..., weight_numel] array into per-instruction blocks."""
+        out: List[Optional[jnp.ndarray]] = []
+        i = 0
+        for shape in self.weight_shapes:
+            if not shape:
+                out.append(None)
+                continue
+            n = int(np.prod(shape))
+            out.append(w[..., i : i + n].reshape(w.shape[:-1] + shape))
+            i += n
+        return out
+
+    def apply(
+        self,
+        x1: jnp.ndarray,
+        x2: jnp.ndarray,
+        weights: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Compute the tensor product.
+
+        Args:
+            x1: [..., irreps_in1.dim]
+            x2: [..., irreps_in2.dim]
+            weights: flat weights. Either [weight_numel] (shared, e.g. an
+                internal parameter) or [..., weight_numel] (per-element
+                external weights, e.g. from a radial MLP) or None when the
+                plan has no weighted instructions.
+
+        Returns:
+            [..., irreps_out.dim]
+        """
+        dtype = x1.dtype
+        if self.weight_numel > 0:
+            assert weights is not None, "plan has weights but none provided"
+            wsplit = self.split_weights(weights)
+        else:
+            wsplit = [None] * len(self.instructions)
+
+        chunks = [None] * len(self.irreps_out)
+        for ins, pw, w in zip(self.instructions, self.path_weights, wsplit):
+            mul1, ir1 = self.irreps_in1[ins.i_in1]
+            mul2, ir2 = self.irreps_in2[ins.i_in2]
+            mul_out, ir_out = self.irreps_out[ins.i_out]
+            b1 = x1[..., self._in1_slices[ins.i_in1]].reshape(
+                x1.shape[:-1] + (mul1, ir1.dim)
+            )
+            b2 = x2[..., self._in2_slices[ins.i_in2]].reshape(
+                x2.shape[:-1] + (mul2, ir2.dim)
+            )
+            c = jnp.asarray(wigner_3j(ir1.l, ir2.l, ir_out.l) * pw, dtype=dtype)
+            if ins.mode == "uvw":
+                if w is None:
+                    raise ValueError("uvw instructions require weights")
+                # einsum handles both shared [u,v,w] and batched [...,u,v,w]
+                res = jnp.einsum("...ui,...vj,ijk,...uvw->...wk", b1, b2, c, w)
+            elif ins.mode == "uvu":
+                if w is not None:
+                    res = jnp.einsum("...ui,...vj,ijk,...uv->...uk", b1, b2, c, w)
+                else:
+                    res = jnp.einsum("...ui,...vj,ijk->...uk", b1, b2.sum(-2, keepdims=True), c)
+            else:
+                raise ValueError(ins.mode)
+            res = res.reshape(res.shape[:-2] + (mul_out * ir_out.dim,))
+            if chunks[ins.i_out] is None:
+                chunks[ins.i_out] = res
+            else:
+                chunks[ins.i_out] = chunks[ins.i_out] + res
+
+        batch_shape = jnp.broadcast_shapes(x1.shape[:-1], x2.shape[:-1])
+        out = []
+        for i, (mul, ir) in enumerate(self.irreps_out):
+            if chunks[i] is None:
+                out.append(
+                    jnp.zeros(batch_shape + (mul * ir.dim,), dtype=dtype)
+                )
+            else:
+                out.append(jnp.broadcast_to(chunks[i], batch_shape + (mul * ir.dim,)))
+        return jnp.concatenate(out, axis=-1) if out else jnp.zeros(
+            batch_shape + (0,), dtype=dtype
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"TensorProductPlan({self.irreps_in1} x {self.irreps_in2} "
+            f"-> {self.irreps_out} | {len(self.instructions)} paths, "
+            f"{self.weight_numel} weights)"
+        )
+
+
+def fully_connected_tp_plan(
+    irreps_in1: Irreps, irreps_in2: Irreps, irreps_out: Irreps
+) -> TensorProductPlan:
+    """All allowed uvw paths into irreps_out (e3nn FullyConnectedTensorProduct).
+
+    Reference usage: self-connection / lin1 / lin2 of the point convolution
+    (nn/conv.py:59,77,84).
+    """
+    irreps_in1 = Irreps(irreps_in1)
+    irreps_in2 = Irreps(irreps_in2)
+    irreps_out = Irreps(irreps_out)
+    instructions = [
+        Instruction(i, j, k, "uvw", True)
+        for i, (_, ir1) in enumerate(irreps_in1)
+        for j, (_, ir2) in enumerate(irreps_in2)
+        for k, (_, ir_out) in enumerate(irreps_out)
+        if ir_out in ir1 * ir2
+    ]
+    return TensorProductPlan(irreps_in1, irreps_in2, irreps_out, instructions)
+
+
+def uvu_tp_plan(
+    irreps_in1: Irreps, irreps_in2: Irreps, irreps_out_filter: Irreps
+) -> TensorProductPlan:
+    """Channel-wise (uvu) weighted TP with the reference's path selection.
+
+    Enumerates l1 (x) l2 -> l3 paths and keeps those with l3 in
+    `irreps_out_filter` or l3 == 0e; output entries sorted by irrep so same
+    types are adjacent (mirrors reference nn/utils.py:205-232). The actual
+    output irreps (`plan.irreps_out`) may differ from the filter.
+    """
+    irreps_in1 = Irreps(irreps_in1)
+    irreps_in2 = Irreps(irreps_in2)
+    irreps_out_filter = Irreps(irreps_out_filter)
+
+    irreps_mid = []
+    instructions = []
+    for i, (mul, ir1) in enumerate(irreps_in1):
+        for j, (_, ir2) in enumerate(irreps_in2):
+            for ir_out in ir1 * ir2:
+                if ir_out in irreps_out_filter or ir_out == Irrep(0, 1):
+                    k = len(irreps_mid)
+                    irreps_mid.append((mul, ir_out))
+                    instructions.append(Instruction(i, j, k, "uvu", True))
+    if not irreps_mid:
+        raise ValueError(
+            f"{irreps_in1} x {irreps_in2} produces no paths into {irreps_out_filter}"
+        )
+    irreps_mid, perm, _ = Irreps(irreps_mid).sort()
+    instructions = [
+        Instruction(ins.i_in1, ins.i_in2, perm[ins.i_out], ins.mode, ins.has_weight)
+        for ins in instructions
+    ]
+    return TensorProductPlan(irreps_in1, irreps_in2, irreps_mid, instructions)
+
+
+class LinearPlan:
+    """Equivariant linear map (e3nn o3.Linear equivalent, no bias).
+
+    Connects every input entry to every output entry of the same irrep;
+    forward scaled by 1/sqrt(fan_in) per output entry with weights N(0,1).
+    Reference usage: nn/nodewise.py:111, model_factory/tfn_scalar_tensor.py:50.
+    """
+
+    def __init__(self, irreps_in: Irreps, irreps_out: Irreps):
+        self.irreps_in = Irreps(irreps_in)
+        self.irreps_out = Irreps(irreps_out)
+        self.connections: List[Tuple[int, int]] = [
+            (i, j)
+            for i, (_, ir_in) in enumerate(self.irreps_in)
+            for j, (_, ir_out) in enumerate(self.irreps_out)
+            if ir_in == ir_out
+        ]
+        self.weight_shapes = [
+            (self.irreps_in[i].mul, self.irreps_out[j].mul)
+            for i, j in self.connections
+        ]
+        self.weight_numel = int(sum(int(np.prod(s)) for s in self.weight_shapes))
+        # fan-in per output entry: total input multiplicity of the same irrep
+        self._fan_in = [
+            sum(
+                self.irreps_in[i].mul
+                for i, jj in self.connections
+                if jj == j
+            )
+            for j in range(len(self.irreps_out))
+        ]
+        self._in_slices = self.irreps_in.slices()
+        self._out_slices = self.irreps_out.slices()
+
+    def apply(self, x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        chunks = [None] * len(self.irreps_out)
+        wi = 0
+        for (i, j), shape in zip(self.connections, self.weight_shapes):
+            mul_in, ir = self.irreps_in[i]
+            mul_out, _ = self.irreps_out[j]
+            n = mul_in * mul_out
+            w = weights[wi : wi + n].reshape(mul_in, mul_out)
+            wi += n
+            blk = x[..., self._in_slices[i]].reshape(x.shape[:-1] + (mul_in, ir.dim))
+            res = jnp.einsum("...ui,uv->...vi", blk, w.astype(dtype))
+            res = res / np.sqrt(self._fan_in[j])
+            res = res.reshape(res.shape[:-2] + (mul_out * ir.dim,))
+            chunks[j] = res if chunks[j] is None else chunks[j] + res
+        out = []
+        for j, (mul, ir) in enumerate(self.irreps_out):
+            if chunks[j] is None:
+                out.append(jnp.zeros(x.shape[:-1] + (mul * ir.dim,), dtype=dtype))
+            else:
+                out.append(chunks[j])
+        return jnp.concatenate(out, axis=-1)
+
+    def __repr__(self) -> str:
+        return f"LinearPlan({self.irreps_in} -> {self.irreps_out}, {self.weight_numel} weights)"
