@@ -1,0 +1,188 @@
+"""TFN point convolution — the message-passing core.
+
+Re-architecture of the reference's PointConv / PointConvWithActivation
+(nn/conv.py:26-215): self-connection and node-wise mixing are
+species-conditioned fully-connected tensor products; the per-edge message is
+a radial-MLP-weighted uvu CG tensor product of gathered source features with
+the edge spherical harmonics, segment-summed into destination nodes and
+normalized by sqrt(avg num neighbors). On TPU the gather -> TP -> scatter
+runs over statically padded, destination-sorted edge lists; dummy edges
+carry zero SH/radial attributes and deposit into masked nodes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from matten_tpu.data import keys as K
+from matten_tpu.nn.common import (
+    IrrepsDictT,
+    check_required,
+    irreps_dict,
+    merge_irreps,
+    normal_initializer,
+)
+from matten_tpu.nn.gate import ActivationInfo
+from matten_tpu.nn.norm import IrrepsBatchNorm, IrrepsInstanceNorm
+from matten_tpu.nn.radial import ScalarMLP
+from matten_tpu.ops.irreps import Irreps
+from matten_tpu.ops.scatter import scatter_sum
+from matten_tpu.ops.tensor_product import (
+    TensorProductPlan,
+    fully_connected_tp_plan,
+    uvu_tp_plan,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_plans(
+    feats_in: Irreps, attrs: Irreps, edge_attrs: Irreps, conv_out: Irreps
+) -> Tuple[TensorProductPlan, TensorProductPlan, TensorProductPlan, TensorProductPlan]:
+    """(sc, lin1, uvu, lin2) plans for a PointConv layer (cached)."""
+    sc = fully_connected_tp_plan(feats_in, attrs, conv_out)
+    lin1 = fully_connected_tp_plan(feats_in, attrs, feats_in)
+    uvu = uvu_tp_plan(feats_in, edge_attrs, conv_out)
+    lin2 = fully_connected_tp_plan(uvu.irreps_out.simplify(), attrs, conv_out)
+    return sc, lin1, uvu, lin2
+
+
+class PointConv(nn.Module):
+    irreps_in: IrrepsDictT
+    conv_layer_irreps: Irreps
+    fc_num_hidden_layers: int = 1
+    fc_hidden_size: int = 8
+    avg_num_neighbors: Optional[float] = None
+
+    REQUIRED = (K.NODE_FEATURES, K.NODE_ATTRS, K.EDGE_ATTRS, K.EDGE_EMBEDDING)
+
+    def _plans(self):
+        d = irreps_dict(self.irreps_in)
+        return _conv_plans(
+            Irreps(d[K.NODE_FEATURES]),
+            Irreps(d[K.NODE_ATTRS]),
+            Irreps(d[K.EDGE_ATTRS]),
+            Irreps(self.conv_layer_irreps),
+        )
+
+    @property
+    def irreps_out(self) -> IrrepsDictT:
+        check_required(self.irreps_in, self.REQUIRED, type(self).__name__)
+        return merge_irreps(
+            self.irreps_in, {K.NODE_FEATURES: Irreps(self.conv_layer_irreps)}
+        )
+
+    @nn.compact
+    def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        data = dict(data)
+        sc_plan, lin1_plan, uvu_plan, lin2_plan = self._plans()
+
+        feats = data[K.NODE_FEATURES]
+        attrs = data[K.NODE_ATTRS]
+        edge_attrs = data[K.EDGE_ATTRS]
+        edge_emb = data[K.EDGE_EMBEDDING]
+        src, dst = data[K.EDGE_INDEX]
+        num_nodes = feats.shape[0]
+
+        w_sc = self.param("w_sc", normal_initializer(), (sc_plan.weight_numel,))
+        w_lin1 = self.param("w_lin1", normal_initializer(), (lin1_plan.weight_numel,))
+        w_lin2 = self.param("w_lin2", normal_initializer(), (lin2_plan.weight_numel,))
+
+        self_connection = sc_plan.apply(feats, attrs, w_sc)
+
+        feats = lin1_plan.apply(feats, attrs, w_lin1)
+
+        # radial MLP -> per-edge uvu weights
+        hs = (
+            [edge_emb.shape[-1]]
+            + self.fc_num_hidden_layers * [self.fc_hidden_size]
+            + [uvu_plan.weight_numel]
+        )
+        edge_weights = ScalarMLP(hs=tuple(hs), act="silu", name="radial_mlp")(edge_emb)
+
+        msg = uvu_plan.apply(feats[src], edge_attrs, edge_weights)
+        agg = scatter_sum(msg, dst, num_nodes)
+
+        if self.avg_num_neighbors is not None:
+            agg = agg / np.sqrt(self.avg_num_neighbors)
+        else:
+            nn_cnt = jnp.maximum(data[K.NUM_NEIGH], 1.0)
+            agg = agg / jnp.sqrt(nn_cnt)[:, None]
+
+        conv_out = lin2_plan.apply(agg, attrs, w_lin2)
+
+        data[K.NODE_FEATURES] = self_connection + conv_out
+        return data
+
+
+class PointConvWithActivation(nn.Module):
+    """conv -> gate activation -> (batch|instance|none) normalization."""
+
+    irreps_in: IrrepsDictT
+    conv_layer_irreps: Irreps
+    fc_num_hidden_layers: int = 1
+    fc_hidden_size: int = 8
+    avg_num_neighbors: Optional[float] = None
+    activation_type: str = "gate"
+    activation_scalars: Optional[Tuple[Tuple[str, str], ...]] = None
+    activation_gates: Optional[Tuple[Tuple[str, str], ...]] = None
+    normalization: Optional[str] = None
+
+    def _act_info(self) -> ActivationInfo:
+        d = irreps_dict(self.irreps_in)
+        return ActivationInfo(
+            Irreps(d[K.NODE_FEATURES]),
+            Irreps(d[K.EDGE_ATTRS]),
+            Irreps(self.conv_layer_irreps),
+            activation_type=self.activation_type,
+            activation_scalars=dict(self.activation_scalars)
+            if self.activation_scalars
+            else None,
+            activation_gates=dict(self.activation_gates)
+            if self.activation_gates
+            else None,
+        )
+
+    @property
+    def irreps_out(self) -> IrrepsDictT:
+        return merge_irreps(
+            self.irreps_in, {K.NODE_FEATURES: self._act_info().irreps_out}
+        )
+
+    @nn.compact
+    def __call__(
+        self, data: Dict[str, jnp.ndarray], use_running_average: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        info = self._act_info()
+        data = PointConv(
+            irreps_in=self.irreps_in,
+            conv_layer_irreps=info.irreps_in,
+            fc_num_hidden_layers=self.fc_num_hidden_layers,
+            fc_hidden_size=self.fc_hidden_size,
+            avg_num_neighbors=self.avg_num_neighbors,
+            name="conv",
+        )(data)
+        x = info.make()(data[K.NODE_FEATURES])
+
+        mask = data.get(K.NODE_MASK)
+        if self.normalization == "batch":
+            x = IrrepsBatchNorm(irreps=info.irreps_out, name="norm")(
+                x, mask=mask, use_running_average=use_running_average
+            )
+        elif self.normalization == "instance":
+            num_graphs = data[K.CELL].reshape(-1, 3, 3).shape[0]
+            x = IrrepsInstanceNorm(irreps=info.irreps_out, name="norm")(
+                x, data[K.BATCH], num_graphs, mask=mask
+            )
+        elif self.normalization not in (None, "none"):
+            raise ValueError(f"unknown normalization {self.normalization!r}")
+
+        if mask is not None:
+            x = x * mask[:, None].astype(x.dtype)
+        data = dict(data)
+        data[K.NODE_FEATURES] = x
+        return data

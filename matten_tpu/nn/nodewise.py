@@ -1,0 +1,120 @@
+"""Node-wise linear / pooling / selection modules.
+
+Reference: NodewiseLinear, NodewiseReduce, NodewiseSelect
+(nn/nodewise.py:89,120,18).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from matten_tpu.data import keys as K
+from matten_tpu.nn.common import IrrepsDictT, irreps_dict, merge_irreps, normal_initializer
+from matten_tpu.ops.irreps import Irreps
+from matten_tpu.ops.scatter import scatter_mean, scatter_sum
+from matten_tpu.ops.tensor_product import LinearPlan
+
+
+class NodewiseLinear(nn.Module):
+    """Equivariant linear map on a node field (e3nn o3.Linear, no bias)."""
+
+    irreps_in: IrrepsDictT
+    irreps_out_field: Irreps
+    field: str = K.NODE_FEATURES
+    out_field: Optional[str] = None
+
+    @property
+    def _out_field(self) -> str:
+        return self.out_field if self.out_field is not None else self.field
+
+    @property
+    def irreps_out(self) -> IrrepsDictT:
+        return merge_irreps(
+            self.irreps_in, {self._out_field: Irreps(self.irreps_out_field)}
+        )
+
+    @nn.compact
+    def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        data = dict(data)
+        plan = LinearPlan(
+            Irreps(irreps_dict(self.irreps_in)[self.field]),
+            Irreps(self.irreps_out_field),
+        )
+        w = self.param("w", normal_initializer(), (plan.weight_numel,))
+        data[self._out_field] = plan.apply(data[self.field], w)
+        return data
+
+
+class NodewiseReduce(nn.Module):
+    """Masked scatter-reduce of a node field into per-graph features."""
+
+    irreps_in: IrrepsDictT
+    field: str = K.NODE_FEATURES
+    out_field: Optional[str] = None
+    reduce: str = "sum"  # "sum" | "mean"
+
+    @property
+    def _out_field(self) -> str:
+        return (
+            self.out_field if self.out_field is not None else f"{self.reduce}_{self.field}"
+        )
+
+    @property
+    def irreps_out(self) -> IrrepsDictT:
+        return merge_irreps(
+            self.irreps_in,
+            {self._out_field: irreps_dict(self.irreps_in)[self.field]},
+        )
+
+    @nn.compact
+    def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        data = dict(data)
+        x = data[self.field]
+        batch = data[K.BATCH]
+        num_graphs = data[K.CELL].reshape(-1, 3, 3).shape[0]
+        mask = data.get(K.NODE_MASK)
+        if self.reduce == "sum":
+            if mask is not None:
+                x = x * mask[:, None].astype(x.dtype)
+            out = scatter_sum(x, batch, num_graphs)
+        elif self.reduce == "mean":
+            out = scatter_mean(x, batch, num_graphs, weights=mask)
+        else:
+            raise ValueError(f"unsupported reduce {self.reduce!r}")
+        data[self._out_field] = out
+        return data
+
+
+class NodewiseSelect(nn.Module):
+    """Mask a node field by a boolean per-node selector (e.g. atom_selector).
+
+    TPU note: instead of gathering a dynamic-size subset (reference
+    nn/nodewise.py:18-86), the field is zero-masked at static shape; loss /
+    metric reductions use the same mask.
+    """
+
+    irreps_in: IrrepsDictT
+    field: str = K.NODE_FEATURES
+    out_field: Optional[str] = None
+    mask_field: str = K.ATOM_SELECTOR
+
+    @property
+    def _out_field(self) -> str:
+        return self.out_field if self.out_field is not None else f"selected_{self.field}"
+
+    @property
+    def irreps_out(self) -> IrrepsDictT:
+        return merge_irreps(
+            self.irreps_in,
+            {self._out_field: irreps_dict(self.irreps_in)[self.field]},
+        )
+
+    def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        data = dict(data)
+        x = data[self.field]
+        sel = data[self.mask_field]
+        data[self._out_field] = x * sel[:, None].astype(x.dtype)
+        return data
