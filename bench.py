@@ -1,0 +1,129 @@
+"""Benchmark: training-step throughput (edges/s) of the flagship model.
+
+Runs the production-config elasticity model (3 TFN layers, lmax=4 SH,
+32-crystal synthetic batch) for full fwd+bwd+Adam train steps on the
+default accelerator and reports edges processed per second.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md), so
+vs_baseline is the ratio against the previous round's recording when
+available (BENCH_r*.json), else 1.0.
+"""
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+
+def build_batch(rng, n_graphs=32, atoms_lo=4, atoms_hi=12):
+    from matten_tpu.data.datamodule import BatchLoader
+    from matten_tpu.data.graph import CrystalGraph
+    from matten_tpu.data.structure import Structure
+    from matten_tpu.nn.embedding import atomic_number_map
+
+    species = (8, 13, 14, 22, 56)
+    graphs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(atoms_lo, atoms_hi + 1))
+        s = Structure(
+            lattice=np.eye(3) * (3.5 + rng.uniform(0, 1.5)) + rng.normal(size=(3, 3)) * 0.1,
+            frac_coords=rng.uniform(0, 1, size=(n, 3)),
+            atomic_numbers=rng.choice(species, size=n),
+        )
+        g = CrystalGraph.from_structure(s, r_cut=5.0)
+        g.y["elastic_tensor_full"] = rng.normal(size=(1, 21))
+        graphs.append(g)
+    smap = atomic_number_map(species)
+    loader = BatchLoader(graphs, batch_size=n_graphs, species_map=smap)
+    data, targets = next(iter(loader))
+    real_edges = int(data["edge_mask"].sum())
+    return data, targets, real_edges, species
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from matten_tpu.models import create_scalar_tensor_model
+    from matten_tpu.train import CanonicalRegressionTask, Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    data, targets, real_edges, species = build_batch(rng)
+
+    hparams = dict(
+        species_embedding_dim=16,
+        irreps_edge_sh="0e+1o+2e+3o+4e",
+        num_radial_basis=8,
+        radial_basis_start=0.0,
+        radial_basis_end=5.0,
+        radial_basis_type="bessel",
+        num_layers=3,
+        invariant_layers=2,
+        invariant_neurons=32,
+        average_num_neighbors=30.0,
+        conv_layer_irreps="32x0o+32x0e+16x1o+16x1e+4x2o+4x2e+2x3o+2x3e+2x4e",
+        nonlinearity_type="gate",
+        normalization="batch",
+        conv_to_output_hidden_irreps_out="16x0e+2x2e+4e",
+        output_format="irreps",
+        output_formula="ijkl=jikl=klij",
+        reduce="mean",
+    )
+    ds_hparams = dict(
+        allowed_species=list(species), average_num_neighbors=30.0, atom_feats_size=None
+    )
+    model = create_scalar_tensor_model(hparams, ds_hparams)
+    task = CanonicalRegressionTask(name="elastic_tensor_full")
+    trainer = Trainer(model, [task], TrainerConfig(max_epochs=1, lr=0.01))
+    state = trainer.init_state((data, targets))
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    targets = {k: jnp.asarray(v) for k, v in targets.items()}
+
+    # warmup / compile
+    state, loss, _ = trainer._train_step(state, data, targets)
+    jax.block_until_ready(loss)
+
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = trainer._train_step(state, data, targets)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    edges_per_s = real_edges * iters / dt
+
+    # ratio vs the latest recorded round, if any
+    vs = 1.0
+    recs = []
+    for path in glob.glob("BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)\.json", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                recs.append((int(m.group(1)), json.load(f)))
+        except Exception:
+            pass
+    if recs:
+        prev = max(recs)[1]
+        if prev.get("value"):
+            vs = edges_per_s / float(prev["value"])
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_edges_per_s",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s/chip",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Data module: datasets -> shuffled, padded, bucketed device batches.
+
+Replaces the reference's Lightning TensorDataModule + PyG DataLoader
+(data/datamodule.py:10-129, dataset/structure_scalar_tensor.py:421-666):
+graphs are converted once (optionally cached), batches are padded to a
+small ladder of bucket shapes so XLA compiles a bounded number of programs,
+and `get_to_model_info()` provides the dataset -> model hand-off.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from matten_tpu.data.dataset import (
+    DatasetStatistics,
+    TensorDatasetConfig,
+    load_tensor_dataset,
+)
+from matten_tpu.data.graph import CrystalGraph, PadSpec, collate_graphs
+from matten_tpu.nn.embedding import atomic_number_map
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["TensorDataModule", "BatchLoader"]
+
+
+class BatchLoader:
+    """Yields (data, targets) numpy batches with bucketed static shapes."""
+
+    def __init__(
+        self,
+        graphs: List[CrystalGraph],
+        batch_size: int,
+        species_map: np.ndarray,
+        shuffle: bool = False,
+        seed: int = 0,
+        node_multiple: int = 64,
+        edge_multiple: int = 1024,
+        drop_last: bool = False,
+        num_shards: int = 1,
+    ):
+        """num_shards > 1 yields stacked per-shard batches [S, ...] for SPMD
+        data parallelism (each shard is an independently padded sub-batch
+        whose edge_index refers only to its own node block)."""
+        if batch_size % num_shards != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by {num_shards}")
+        self.graphs = graphs
+        self.batch_size = batch_size
+        self.species_map = species_map
+        self.shuffle = shuffle
+        self.node_multiple = node_multiple
+        self.edge_multiple = edge_multiple
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self._rng = np.random.default_rng(seed)
+        # one global bucket per loader: max over a worst-case (sub-)batch, so
+        # every batch compiles to the same program
+        sizes = np.sort(np.array([g.num_nodes for g in self.graphs]))[::-1]
+        esizes = np.sort(np.array([g.num_edges for g in self.graphs]))[::-1]
+        per_shard = batch_size // num_shards
+        k = min(per_shard, len(graphs))
+        self.pad = PadSpec(
+            self._round(int(sizes[:k].sum()) + 1, node_multiple),
+            self._round(int(esizes[:k].sum()), edge_multiple),
+            per_shard,
+        )
+
+    @staticmethod
+    def _round(n: int, m: int) -> int:
+        return int(np.ceil(n / m)) * m
+
+    def __len__(self) -> int:
+        n = len(self.graphs)
+        return n // self.batch_size if self.drop_last else int(np.ceil(n / self.batch_size))
+
+    def __iter__(self) -> Iterator[Tuple[Dict, Dict]]:
+        idx = np.arange(len(self.graphs))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        for i in range(len(self)):
+            chunk = idx[i * self.batch_size : (i + 1) * self.batch_size]
+            graphs = [self.graphs[j] for j in chunk]
+            if self.num_shards == 1:
+                yield collate_graphs(graphs, self.pad, species_map=self.species_map)
+                continue
+            per = self.pad.num_graphs
+            shards = [
+                collate_graphs(
+                    graphs[s * per : (s + 1) * per] or graphs[:1],
+                    self.pad,
+                    species_map=self.species_map,
+                )
+                for s in range(self.num_shards)
+            ]
+            # ragged tail shards reuse graphs[:1] but zero the masks so they
+            # contribute nothing
+            data = {
+                k: np.stack([s[0][k] for s in shards]) for k in shards[0][0]
+            }
+            targets = {
+                k: np.stack([s[1][k] for s in shards]) for k in shards[0][1]
+            }
+            for s, shard in enumerate(shards):
+                if not (s * per < len(graphs)):
+                    for key in ("node_mask", "edge_mask", "graph_mask"):
+                        data[key][s] = False
+            yield data, targets
+
+
+class TensorDataModule:
+    """Train/val/test datasets + statistics + loaders."""
+
+    def __init__(
+        self,
+        trainset_filename: str,
+        valset_filename: str,
+        testset_filename: str,
+        *,
+        r_cut: float,
+        tensor_target_name: str = "elastic_tensor_full",
+        tensor_target_format: str = "irreps",
+        tensor_target_formula: str = "ijkl=jikl=klij",
+        tensor_target_scale: float = 1.0,
+        normalize_tensor_target: bool = False,
+        tensor_target_weight: Optional[Dict] = None,
+        atom_selector: Optional[str] = None,
+        scalar_target_names: Optional[List[str]] = None,
+        log_scalar_targets: Optional[List[bool]] = None,
+        root: str = ".",
+        reuse: bool = True,  # accepted for config compat; conversion is fast
+        compute_dataset_statistics: bool = True,
+        loader_kwargs: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+        num_shards: int = 1,
+    ):
+        self.num_shards = num_shards
+        self.cfg = TensorDatasetConfig(
+            r_cut=r_cut,
+            tensor_target_name=tensor_target_name,
+            tensor_target_format=tensor_target_format,
+            tensor_target_formula=tensor_target_formula,
+            tensor_target_scale=tensor_target_scale,
+            atom_selector=atom_selector,
+            scalar_target_names=tuple(scalar_target_names or ()),
+            log_scalar_targets=tuple(log_scalar_targets or ()),
+            tensor_target_weight=tensor_target_weight,
+        )
+        self.root = Path(root)
+        self.filenames = dict(
+            train=trainset_filename, val=valset_filename, test=testset_filename
+        )
+        self.normalize_tensor_target = normalize_tensor_target
+        self.compute_dataset_statistics = compute_dataset_statistics
+        self.loader_kwargs = dict(loader_kwargs or {})
+        self.seed = seed
+        self.graphs: Dict[str, List[CrystalGraph]] = {}
+        self.failed: Dict[str, List[int]] = {}
+        self.statistics: Optional[DatasetStatistics] = None
+        self.species_map: Optional[np.ndarray] = None
+
+    def setup(self) -> None:
+        for split, fname in self.filenames.items():
+            path = self.root / fname
+            self.graphs[split], self.failed[split] = load_tensor_dataset(path, self.cfg)
+            logger.info(
+                "%s: %d graphs (%d failed rows)",
+                split,
+                len(self.graphs[split]),
+                len(self.failed[split]),
+            )
+        self.statistics = DatasetStatistics.compute(
+            self.graphs["train"], self.cfg, self.normalize_tensor_target
+        )
+        self.species_map = atomic_number_map(self.statistics.allowed_species)
+        if self.normalize_tensor_target:
+            tn = self.statistics.target_normalizer
+            for split in self.graphs:
+                for g in self.graphs[split]:
+                    name = self.cfg.tensor_target_name
+                    g.y[name] = np.asarray(tn.forward(g.y[name]))
+
+    def get_to_model_info(self) -> Dict[str, Any]:
+        """The dataset -> model hand-off (reference
+        dataset/structure_scalar_tensor.py:640-666)."""
+        return {
+            "allowed_species": list(self.statistics.allowed_species),
+            "average_num_neighbors": self.statistics.average_num_neighbors,
+            "global_feats_size": None,
+            "atom_feats_size": None,
+        }
+
+    def _loader(self, split: str, shuffle: bool) -> BatchLoader:
+        bs = int(self.loader_kwargs.get("batch_size", 32))
+        return BatchLoader(
+            self.graphs[split],
+            batch_size=bs,
+            species_map=self.species_map,
+            shuffle=shuffle,
+            seed=self.seed,
+            num_shards=self.num_shards,
+        )
+
+    def train_dataloader(self) -> BatchLoader:
+        return self._loader("train", shuffle=bool(self.loader_kwargs.get("shuffle", True)))
+
+    def val_dataloader(self) -> BatchLoader:
+        return self._loader("val", shuffle=False)
+
+    def test_dataloader(self) -> BatchLoader:
+        return self._loader("test", shuffle=False)

@@ -1,0 +1,393 @@
+"""The training loop: jitted steps, plateau LR, early stopping, checkpoints.
+
+TPU-native replacement for the reference's delegation to PyTorch Lightning
+(model/model.py:17-480, scripts/train_materials_tensor.py:34-68):
+
+  * jitted train/eval steps (donated state) over padded static-shape batches,
+  * Adam + L2 weight decay (torch-Adam semantics: decay added to gradients)
+    with a mutable injected learning rate,
+  * ReduceLROnPlateau on `val/score` (factor/patience as in the reference
+    config, scripts/configs/materials_tensor.yaml:103-115),
+  * early stopping + best-k checkpointing on `val/score` (ModelCheckpoint /
+    EarlyStopping semantics, configs yaml:78-96),
+  * streaming MAE metrics computed on denormalized values,
+  * per-epoch wall-time logging (reference TimeMeter, model/utils.py:4-35).
+
+SPMD: when a mesh is provided, batches are sharded over the data axis and
+gradients are reduced by XLA collectives inserted from sharding constraints
+(jit-of-sharded, replacing Lightning DDP/NCCL).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core as flax_core
+from flax import struct
+
+from matten_tpu.data import keys as K
+from matten_tpu.train.task import Task, masked_abs_err_sum, masked_mse
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["TrainerConfig", "Trainer", "TrainState", "ReduceLROnPlateau"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: flax_core.FrozenDict
+    batch_stats: flax_core.FrozenDict
+    opt_state: optax.OptState
+
+    def apply_gradients(self, grads, tx):
+        updates, new_opt_state = tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+@dataclass
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler (torch ReduceLROnPlateau semantics)."""
+
+    factor: float = 0.5
+    patience: int = 50
+    mode: str = "min"
+    min_lr: float = 0.0
+    best: float = dc_field(default=float("inf"))
+    num_bad: int = 0
+    scale: float = 1.0
+
+    def step(self, score: float) -> bool:
+        """Returns True if the LR was reduced this step."""
+        improved = score < self.best if self.mode == "min" else score > self.best
+        if improved:
+            self.best = score
+            self.num_bad = 0
+            return False
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.scale *= self.factor
+            self.num_bad = 0
+            return True
+        return False
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 1000
+    lr: float = 0.01
+    weight_decay: float = 1e-5
+    lr_factor: float = 0.5
+    lr_patience: int = 50
+    early_stopping_patience: int = 150
+    checkpoint_dir: Optional[str] = None
+    save_top_k: int = 3
+    log_every_epochs: int = 1
+    seed: int = 35
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        tasks: List[Task],
+        config: TrainerConfig,
+        mesh=None,
+        data_axis: str = "data",
+    ):
+        self.model = model
+        self.tasks = tasks
+        self.config = config
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.tx = optax.inject_hyperparams(self._make_tx)(
+            learning_rate=config.lr, weight_decay=config.weight_decay
+        )
+        self.scheduler = ReduceLROnPlateau(
+            factor=config.lr_factor, patience=config.lr_patience
+        )
+        self.history: List[Dict[str, float]] = []
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            rep, sh = P(), P(self.data_axis)
+            self._train_step = jax.jit(
+                jax.shard_map(
+                    self._dp_train_step_impl,
+                    mesh=mesh,
+                    in_specs=(rep, sh, sh),
+                    out_specs=(rep, rep, rep),
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                jax.shard_map(
+                    self._dp_eval_step_impl,
+                    mesh=mesh,
+                    in_specs=(rep, sh, sh),
+                    out_specs=(rep, rep),
+                    check_vma=False,
+                )
+            )
+        else:
+            self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+            self._eval_step = jax.jit(self._eval_step_impl)
+        self._ckpt_manager = None
+        if config.checkpoint_dir is not None:
+            from matten_tpu.train.checkpoint import CheckpointManager
+
+            self._ckpt_manager = CheckpointManager(
+                config.checkpoint_dir, save_top_k=config.save_top_k
+            )
+
+    @staticmethod
+    def _make_tx(learning_rate, weight_decay):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(learning_rate),
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, sample_batch: Tuple[Dict, Dict], rng_seed: int = 0) -> TrainState:
+        data = {k: jnp.asarray(v) for k, v in sample_batch[0].items()}
+        variables = self.model.init(jax.random.PRNGKey(rng_seed), data)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", flax_core.FrozenDict())
+        nparams = sum(x.size for x in jax.tree.leaves(params))
+        logger.info("model initialized: %d parameters", nparams)
+        return TrainState(
+            step=jnp.zeros((), dtype=jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+
+    # ------------------------------------------------------------------
+    def _task_mask(self, task: Task, data: Dict, targets: Dict):
+        if task.per_atom:
+            sel = targets.get("atom_selector")
+            mask = data[K.NODE_MASK]
+            if sel is not None:
+                mask = mask & (sel.astype(bool))
+            return mask
+        return data[K.GRAPH_MASK]
+
+    def _compute_loss(self, preds: Dict, data: Dict, targets: Dict):
+        loss = 0.0
+        for task in self.tasks:
+            mask = self._task_mask(task, data, targets)
+            sw = None
+            if not task.per_atom and "target_weight" in data:
+                sw = data["target_weight"][:, 0]
+            loss = loss + task.loss_weight * masked_mse(
+                preds[task.name], targets[task.name], mask, sw
+            )
+        return loss
+
+    def _metric_sums(self, preds: Dict, data: Dict, targets: Dict):
+        out = {}
+        for task in self.tasks:
+            mask = self._task_mask(task, data, targets)
+            p = task.transform_for_metric(preds[task.name])
+            t = task.transform_for_metric(targets[task.name])
+            s, c = masked_abs_err_sum(p, t, mask)
+            out[task.name] = (s, c)
+        return out
+
+    def _grads_and_metrics(self, state: TrainState, data: Dict, targets: Dict):
+        """Local (per-shard) gradient + metric computation."""
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, updates = self.model.apply(
+                    variables, data, mutable=["batch_stats"], use_running_average=False
+                )
+            else:
+                out = self.model.apply(variables, data, use_running_average=False)
+                updates = {}
+            preds = out if isinstance(out, dict) else {self.tasks[0].name: out}
+            loss = self._compute_loss(preds, data, targets)
+            return loss, (updates, preds)
+
+        (loss, (updates, preds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        metric_sums = self._metric_sums(preds, data, targets)
+        return grads, loss, updates, metric_sums
+
+    def _apply_updates(self, state: TrainState, grads, updates) -> TrainState:
+        state = state.apply_gradients(grads, self.tx)
+        if updates:
+            state = state.replace(
+                batch_stats=updates.get("batch_stats", state.batch_stats)
+            )
+        return state
+
+    def _train_step_impl(self, state: TrainState, data: Dict, targets: Dict):
+        grads, loss, updates, metric_sums = self._grads_and_metrics(
+            state, data, targets
+        )
+        state = self._apply_updates(state, grads, updates)
+        return state, loss, metric_sums
+
+    def _eval_core(self, state: TrainState, data: Dict, targets: Dict):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        preds_out = self.model.apply(variables, data, use_running_average=True)
+        preds = (
+            {self.tasks[0].name: preds_out}
+            if not isinstance(preds_out, dict)
+            else preds_out
+        )
+        loss = self._compute_loss(preds, data, targets)
+        return loss, self._metric_sums(preds, data, targets)
+
+    def _eval_step_impl(self, state: TrainState, data: Dict, targets: Dict):
+        return self._eval_core(state, data, targets)
+
+    # ---- SPMD data parallelism (shard_map over the mesh's data axis) -----
+    def _dp_train_step_impl(self, state: TrainState, data: Dict, targets: Dict):
+        """Per-shard body: data/targets arrive as the local [1, ...] block."""
+        ax = self.data_axis
+        data = jax.tree.map(lambda x: x[0], data)
+        targets = jax.tree.map(lambda x: x[0], targets)
+        grads, loss, updates, ms = self._grads_and_metrics(state, data, targets)
+        grads = jax.lax.pmean(grads, ax)
+        loss = jax.lax.pmean(loss, ax)
+        if updates:
+            updates = jax.tree.map(lambda x: jax.lax.pmean(x, ax), updates)
+        ms = jax.tree.map(lambda x: jax.lax.psum(x, ax), ms)
+        state = self._apply_updates(state, grads, updates)
+        return state, loss, ms
+
+    def _dp_eval_step_impl(self, state: TrainState, data: Dict, targets: Dict):
+        ax = self.data_axis
+        data = jax.tree.map(lambda x: x[0], data)
+        targets = jax.tree.map(lambda x: x[0], targets)
+        loss, ms = self._eval_core(state, data, targets)
+        loss = jax.lax.pmean(loss, ax)
+        ms = jax.tree.map(lambda x: jax.lax.psum(x, ax), ms)
+        return loss, ms
+
+    # ------------------------------------------------------------------
+    def _set_lr(self, state: TrainState, lr: float) -> TrainState:
+        opt_state = state.opt_state
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        opt_state = opt_state._replace(hyperparams=hp)
+        return state.replace(opt_state=opt_state)
+
+    def _to_device(self, batch):
+        data, targets = batch
+        data = {k: jnp.asarray(v) for k, v in data.items()}
+        targets = {k: jnp.asarray(v) for k, v in targets.items()}
+        if self.mesh is not None:
+            from matten_tpu.parallel.sharding import shard_batch
+
+            data, targets = shard_batch(self.mesh, self.data_axis, data, targets)
+        return data, targets
+
+    def _run_eval(self, state: TrainState, loader) -> Dict[str, float]:
+        sums = {t.name: [0.0, 0.0] for t in self.tasks}
+        losses = []
+        for batch in loader:
+            data, targets = self._to_device(batch)
+            loss, ms = self._eval_step(state, data, targets)
+            losses.append(float(loss))
+            for name, (s, c) in ms.items():
+                sums[name][0] += float(s)
+                sums[name][1] += float(c)
+        out = {"loss": float(np.mean(losses)) if losses else float("nan")}
+        score = 0.0
+        for t in self.tasks:
+            mae = sums[t.name][0] / max(sums[t.name][1], 1.0)
+            out[f"mae/{t.name}"] = mae
+            score += t.metric_weight * mae
+        out["score"] = score
+        return out
+
+    def fit(self, state: TrainState, datamodule) -> TrainState:
+        cfg = self.config
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+
+        best_score = float("inf")
+        best_epoch = -1
+        epochs_no_improve = 0
+        t_start = time.time()
+
+        for epoch in range(cfg.max_epochs):
+            t0 = time.time()
+            train_losses = []
+            for batch in train_loader:
+                data, targets = self._to_device(batch)
+                state, loss, _ = self._train_step(state, data, targets)
+                train_losses.append(float(loss))
+
+            val_metrics = self._run_eval(state, val_loader)
+            score = val_metrics["score"]
+
+            # plateau scheduler + early stopping on val/score
+            if self.scheduler.step(score):
+                new_lr = cfg.lr * self.scheduler.scale
+                logger.info("epoch %d: reducing lr to %g", epoch, new_lr)
+                state = self._set_lr(state, new_lr)
+
+            if score < best_score:
+                best_score = score
+                best_epoch = epoch
+                epochs_no_improve = 0
+                if self._ckpt_manager is not None:
+                    self._ckpt_manager.save(
+                        epoch, state, metrics={"val/score": score}
+                    )
+            else:
+                epochs_no_improve += 1
+
+            epoch_time = time.time() - t0
+            rec = {
+                "epoch": epoch,
+                "train/loss": float(np.mean(train_losses)),
+                "val/loss": val_metrics["loss"],
+                "val/score": score,
+                "lr_scale": self.scheduler.scale,
+                "epoch_time": epoch_time,
+                "cumulative_time": time.time() - t_start,
+            }
+            rec.update({f"val/{k}": v for k, v in val_metrics.items() if k.startswith("mae")})
+            self.history.append(rec)
+            if epoch % cfg.log_every_epochs == 0:
+                logger.info(
+                    "epoch %d: train loss %.5f | val score %.5f | %.2fs",
+                    epoch,
+                    rec["train/loss"],
+                    score,
+                    epoch_time,
+                )
+            if epochs_no_improve > cfg.early_stopping_patience:
+                logger.info(
+                    "early stopping at epoch %d (best %.5f @ %d)",
+                    epoch,
+                    best_score,
+                    best_epoch,
+                )
+                break
+        if self._ckpt_manager is not None:
+            self._ckpt_manager.save_last(state)
+        return state
+
+    def test(self, state: TrainState, datamodule) -> Dict[str, float]:
+        return self._run_eval(state, datamodule.test_dataloader())

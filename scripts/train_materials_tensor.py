@@ -1,0 +1,100 @@
+"""Train a graph-level tensor model (e.g. crystal elasticity).
+
+Usage: python scripts/train_materials_tensor.py [path/to/config.yaml]
+
+Mirrors the reference entry point (scripts/train_materials_tensor.py:34-68):
+YAML config with data / model / trainer / optimizer / lr_scheduler sections,
+seed, datamodule setup, model build from hparams + dataset hand-off, fit,
+then test with the best checkpoint state.
+"""
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from matten_tpu.data.datamodule import TensorDataModule
+from matten_tpu.models import create_scalar_tensor_model
+from matten_tpu.train import CanonicalRegressionTask, Trainer, TrainerConfig
+from matten_tpu.train.checkpoint import save_sidecar
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+logger = logging.getLogger("train")
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "config", nargs="?", default=Path(__file__).parent / "configs" / "materials_tensor.yaml"
+    )
+    return p.parse_args()
+
+
+def build_trainer_config(config: dict) -> TrainerConfig:
+    tr = config.get("trainer", {})
+    opt = config.get("optimizer", {}).get("init_args", {})
+    sched = config.get("lr_scheduler", {}).get("init_args", {})
+    cb = {c.get("class_path", ""): c.get("init_args", {}) for c in tr.get("callbacks", [])}
+    early = next((v for k, v in cb.items() if "EarlyStopping" in k), {})
+    ckpt = next((v for k, v in cb.items() if "ModelCheckpoint" in k), {})
+    return TrainerConfig(
+        max_epochs=tr.get("max_epochs", 10),
+        lr=opt.get("lr", 0.01),
+        weight_decay=opt.get("weight_decay", 1e-5),
+        lr_factor=sched.get("factor", 0.5),
+        lr_patience=sched.get("patience", 50),
+        early_stopping_patience=early.get("patience", 150),
+        save_top_k=ckpt.get("save_top_k", 3),
+        checkpoint_dir=tr.get("checkpoint_dir", "checkpoints"),
+        seed=config.get("seed_everything", 35),
+    )
+
+
+def main(config: dict):
+    seed = config.get("seed_everything", 35)
+    np.random.seed(seed)
+
+    dm = TensorDataModule(**config["data"], seed=seed)
+    dm.setup()
+    dataset_hparams = dm.get_to_model_info()
+    logger.info("dataset hand-off: %s", dataset_hparams)
+
+    model = create_scalar_tensor_model(config["model"], dataset_hparams)
+    task = CanonicalRegressionTask(
+        name=config["data"].get("tensor_target_name", "elastic_tensor_full"),
+        normalizer=dm.statistics.target_normalizer if dm.normalize_tensor_target else None,
+    )
+
+    tcfg = build_trainer_config(config)
+    trainer = Trainer(model, [task], tcfg)
+    state = trainer.init_state(next(iter(dm.train_dataloader())), rng_seed=seed)
+
+    if tcfg.checkpoint_dir:
+        save_sidecar(
+            tcfg.checkpoint_dir,
+            hparams={
+                "model": config["model"],
+                "data": {
+                    k: v
+                    for k, v in config["data"].items()
+                    if k not in ("trainset_filename", "valset_filename", "testset_filename", "root")
+                },
+                "dataset_hparams": dataset_hparams,
+                "normalize_tensor_target": dm.normalize_tensor_target,
+            },
+            statistics_arrays=dm.statistics.to_arrays(),
+        )
+
+    state = trainer.fit(state, dm)
+    metrics = trainer.test(state, dm)
+    logger.info("test metrics: %s", metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    args = get_args()
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    main(cfg)

@@ -1,0 +1,144 @@
+"""SPMD data-parallel training tests on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matten_tpu.data.datamodule import BatchLoader
+from matten_tpu.data.dataset import DatasetStatistics, TensorDatasetConfig
+from matten_tpu.data.graph import CrystalGraph
+from matten_tpu.data.structure import Structure
+from matten_tpu.models import create_scalar_tensor_model
+from matten_tpu.nn.embedding import atomic_number_map
+from matten_tpu.parallel.sharding import make_mesh
+from matten_tpu.train import CanonicalRegressionTask, Trainer, TrainerConfig
+
+HPARAMS = dict(
+    species_embedding_dim=8,
+    irreps_edge_sh="0e+1o+2e",
+    num_radial_basis=8,
+    radial_basis_start=0.0,
+    radial_basis_end=5.0,
+    radial_basis_type="bessel",
+    num_layers=1,
+    invariant_layers=1,
+    invariant_neurons=8,
+    average_num_neighbors=20.0,
+    conv_layer_irreps="4x0o+4x0e+2x1o+2x1e",
+    nonlinearity_type="gate",
+    normalization=None,  # exact DP == single-device parity needs no BN
+    conv_to_output_hidden_irreps_out="4x0e+2x2e+4e",
+    output_format="irreps",
+    output_formula="ijkl=jikl=klij",
+    reduce="mean",
+)
+
+
+def _graphs(rng, n):
+    out = []
+    for _ in range(n):
+        s = Structure(
+            lattice=np.eye(3) * 4.0 + rng.normal(size=(3, 3)) * 0.2,
+            frac_coords=rng.uniform(0, 1, size=(4, 3)),
+            atomic_numbers=rng.choice([8, 14], size=4),
+        )
+        g = CrystalGraph.from_structure(s, r_cut=5.0)
+        g.y["elastic_tensor_full"] = rng.normal(size=(1, 21))
+        out.append(g)
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    graphs = _graphs(rng, 8)
+    cfg = TensorDatasetConfig()
+    stats = DatasetStatistics.compute(graphs, cfg)
+    smap = atomic_number_map(stats.allowed_species)
+    model = create_scalar_tensor_model(
+        HPARAMS,
+        {
+            "allowed_species": list(stats.allowed_species),
+            "average_num_neighbors": 20.0,
+            "atom_feats_size": None,
+        },
+    )
+    return graphs, smap, model
+
+
+def test_dp_matches_single_device(setup):
+    graphs, smap, model = setup
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual CPU devices"
+    task = CanonicalRegressionTask(name="elastic_tensor_full")
+
+    # single-device: one batch of 8 graphs
+    t_single = Trainer(model, [task], TrainerConfig(max_epochs=1, lr=0.01))
+    loader_s = BatchLoader(
+        graphs, batch_size=8, species_map=smap, node_multiple=32, edge_multiple=512
+    )
+    batch_s = next(iter(loader_s))
+    state_s = t_single.init_state(batch_s, rng_seed=0)
+
+    # DP over 4 shards of 2 graphs
+    mesh = make_mesh(n_data=4, n_graph=2)
+    t_dp = Trainer(model, [task], TrainerConfig(max_epochs=1, lr=0.01), mesh=mesh)
+    loader_dp = BatchLoader(
+        graphs, batch_size=8, species_map=smap, num_shards=4,
+        node_multiple=32, edge_multiple=512,
+    )
+    batch_dp = next(iter(loader_dp))
+    assert batch_dp[0]["pos"].shape[0] == 4  # stacked shard axis
+    state_dp = t_dp.init_state(batch_s, rng_seed=0)  # same init as single
+
+    data_s, targets_s = t_single._to_device(batch_s)
+    s1, loss_s, ms_s = t_single._train_step(state_s, data_s, targets_s)
+
+    data_dp, targets_dp = t_dp._to_device(batch_dp)
+    s2, loss_dp, ms_dp = t_dp._train_step(state_dp, data_dp, targets_dp)
+
+    # equal-sized shards + masked-mean loss -> identical loss and params
+    np.testing.assert_allclose(float(loss_s), float(loss_dp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # metric sums identical
+    np.testing.assert_allclose(
+        float(ms_s["elastic_tensor_full"][0]),
+        float(ms_dp["elastic_tensor_full"][0]),
+        rtol=1e-5,
+    )
+
+
+def test_dp_fit_runs_with_batchnorm(setup):
+    graphs, smap, model_nobn = setup
+    hp = dict(HPARAMS, normalization="batch")
+    rng = np.random.default_rng(1)
+    model = create_scalar_tensor_model(
+        hp,
+        {
+            "allowed_species": [8, 14],
+            "average_num_neighbors": 20.0,
+            "atom_feats_size": None,
+        },
+    )
+    mesh = make_mesh(n_data=8, n_graph=1)
+    task = CanonicalRegressionTask(name="elastic_tensor_full")
+    trainer = Trainer(model, [task], TrainerConfig(max_epochs=2, lr=0.01), mesh=mesh)
+
+    class DM:
+        def train_dataloader(self):
+            return BatchLoader(
+                graphs, batch_size=8, species_map=smap, num_shards=8,
+                node_multiple=32, edge_multiple=512, shuffle=True,
+            )
+
+        val_dataloader = train_dataloader
+        test_dataloader = train_dataloader
+
+    single = BatchLoader(
+        graphs, batch_size=8, species_map=smap, node_multiple=32, edge_multiple=512
+    )
+    state = trainer.init_state(next(iter(single)), rng_seed=0)
+    state = trainer.fit(state, DM())
+    assert len(trainer.history) == 2
+    assert np.isfinite(trainer.history[-1]["val/score"])
