@@ -131,6 +131,19 @@ def create_tfn_backbone(
         layers.append(m)
 
     validate_chain(layers)
+
+    # per-layer NaN/Inf anomaly detection at DEBUG level (reference
+    # model_factory/utils.py:85-87)
+    from matten_tpu.utils.logging import get_log_level
+
+    if get_log_level() == "DEBUG":
+        from matten_tpu.utils.anomaly import DetectAnomaly
+
+        wrapped = []
+        for layer in layers:
+            wrapped.append(layer)
+            wrapped.append(DetectAnomaly(label=getattr(layer, "name", "") or ""))
+        layers = wrapped
     return Sequential(layers=tuple(layers))
 
 

@@ -104,7 +104,12 @@ class PointConv(nn.Module):
         )
         edge_weights = ScalarMLP(hs=tuple(hs), act="silu", name="radial_mlp")(edge_emb)
 
-        msg = uvu_plan.apply(feats[src], edge_attrs, edge_weights)
+        from matten_tpu.kernels.fused_tp import fused_uvu_tp, get_tp_impl
+
+        if get_tp_impl() == "pallas":
+            msg = fused_uvu_tp(uvu_plan, feats[src], edge_attrs, edge_weights)
+        else:
+            msg = uvu_plan.apply(feats[src], edge_attrs, edge_weights)
         agg = scatter_sum(msg, dst, num_nodes)
 
         if self.avg_num_neighbors is not None:

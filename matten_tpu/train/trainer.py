@@ -103,12 +103,14 @@ class Trainer:
         config: TrainerConfig,
         mesh=None,
         data_axis: str = "data",
+        metrics_logger=None,  # object with .log(dict, step=) (e.g. WandbLogger)
     ):
         self.model = model
         self.tasks = tasks
         self.config = config
         self.mesh = mesh
         self.data_axis = data_axis
+        self.metrics_logger = metrics_logger
         self.tx = optax.inject_hyperparams(self._make_tx)(
             learning_rate=config.lr, weight_decay=config.weight_decay
         )
@@ -369,6 +371,8 @@ class Trainer:
             }
             rec.update({f"val/{k}": v for k, v in val_metrics.items() if k.startswith("mae")})
             self.history.append(rec)
+            if self.metrics_logger is not None:
+                self.metrics_logger.log(rec, step=epoch)
             if epoch % cfg.log_every_epochs == 0:
                 logger.info(
                     "epoch %d: train loss %.5f | val score %.5f | %.2fs",
