@@ -84,15 +84,18 @@ def main():
     data = {k: jnp.asarray(v) for k, v in data.items()}
     targets = {k: jnp.asarray(v) for k, v in targets.items()}
 
-    # warmup / compile
+    # warmup / compile. NOTE: on the tunneled TPU backend,
+    # block_until_ready does not synchronize — a host readback of a scalar
+    # is the only reliable fence, so timing uses chained dispatches with a
+    # single final readback (device executes in submission order).
     state, loss, _ = trainer._train_step(state, data, targets)
-    jax.block_until_ready(loss)
+    float(loss)
 
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss, _ = trainer._train_step(state, data, targets)
-    jax.block_until_ready(loss)
+    float(loss)  # fences all queued steps
     dt = time.perf_counter() - t0
     edges_per_s = real_edges * iters / dt
 

@@ -42,10 +42,15 @@ class BatchLoader:
         edge_multiple: int = 1024,
         drop_last: bool = False,
         num_shards: int = 1,
+        num_edge_shards: int = 1,
     ):
         """num_shards > 1 yields stacked per-shard batches [S, ...] for SPMD
         data parallelism (each shard is an independently padded sub-batch
-        whose edge_index refers only to its own node block)."""
+        whose edge_index refers only to its own node block).
+
+        num_edge_shards > 1 additionally splits each sub-batch's dst-sorted
+        edge list into contiguous chunks [Sg, E/Sg, ...] for edge-partition
+        parallelism over the mesh's 'graph' axis."""
         if batch_size % num_shards != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by {num_shards}")
         self.graphs = graphs
@@ -56,6 +61,7 @@ class BatchLoader:
         self.edge_multiple = edge_multiple
         self.drop_last = drop_last
         self.num_shards = num_shards
+        self.num_edge_shards = num_edge_shards
         self._rng = np.random.default_rng(seed)
         # one global bucket per loader: max over a worst-case (sub-)batch, so
         # every batch compiles to the same program
@@ -77,6 +83,20 @@ class BatchLoader:
         n = len(self.graphs)
         return n // self.batch_size if self.drop_last else int(np.ceil(n / self.batch_size))
 
+    def _shard_edges(self, data: Dict) -> Dict:
+        """Split the dst-sorted edge arrays into contiguous chunks [Sg, ...]."""
+        sg = self.num_edge_shards
+        e = data["edge_index"].shape[1]
+        assert e % sg == 0, f"padded edges {e} not divisible by {sg} shards"
+        c = e // sg
+        data = dict(data)
+        data["edge_index"] = np.transpose(
+            data["edge_index"].reshape(2, sg, c), (1, 0, 2)
+        )
+        data["edge_cell_shift"] = data["edge_cell_shift"].reshape(sg, c, 3)
+        data["edge_mask"] = data["edge_mask"].reshape(sg, c)
+        return data
+
     def __iter__(self) -> Iterator[Tuple[Dict, Dict]]:
         idx = np.arange(len(self.graphs))
         if self.shuffle:
@@ -84,18 +104,20 @@ class BatchLoader:
         for i in range(len(self)):
             chunk = idx[i * self.batch_size : (i + 1) * self.batch_size]
             graphs = [self.graphs[j] for j in chunk]
-            if self.num_shards == 1:
+            if self.num_shards == 1 and self.num_edge_shards == 1:
                 yield collate_graphs(graphs, self.pad, species_map=self.species_map)
                 continue
             per = self.pad.num_graphs
-            shards = [
-                collate_graphs(
+            shards = []
+            for s in range(self.num_shards):
+                d, t = collate_graphs(
                     graphs[s * per : (s + 1) * per] or graphs[:1],
                     self.pad,
                     species_map=self.species_map,
                 )
-                for s in range(self.num_shards)
-            ]
+                if self.num_edge_shards > 1:
+                    d = self._shard_edges(d)
+                shards.append((d, t))
             # ragged tail shards reuse graphs[:1] but zero the masks so they
             # contribute nothing
             data = {

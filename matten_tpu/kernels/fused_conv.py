@@ -1,0 +1,245 @@
+"""Fused gather-free TFN convolution kernel: uvu TP + in-VMEM aggregation.
+
+The speed-of-light analysis of the TFN message pass (SURVEY.md §7 hard part
+4, BASELINE.json north star): the uvu tensor product's un-simplified output
+irreps are wide (production plan: 103 paths, ~4200 components), so
+materializing per-edge messages costs ~E x 4200 x 4B of HBM write+read per
+layer — an order of magnitude more traffic than the inputs. This kernel
+never materializes messages:
+
+  * layout: features on sublanes, edges on lanes ([D, E] transposed), so
+    every CG-path slice is a cheap sublane slice and the lane dimension is
+    always 128-aligned — this is what makes the kernel compile fast and
+    run at line rate (the naive [E, D] layout relayouts on every slice);
+  * per edge block (256 lanes): for each CG path, one MXU matmul
+    (CG-table x SH block) followed by a short static fma loop over the
+    2l+1 components inside a fori_loop over channels;
+  * aggregation: messages are immediately reduced into a [D_out, N]
+    accumulator that lives in VMEM across the whole grid (destination
+    one-hot matmul on the MXU — the segment-sum as dense contraction trick
+    for N <= ~1k nodes per batch);
+  * HBM traffic: read x/sh/w once, write the [D_out, N] aggregate once.
+
+Gradients: custom_vjp with the XLA-tier composition as backward (backward
+kernels are the next optimization tier).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matten_tpu.ops.tensor_product import TensorProductPlan
+from matten_tpu.ops.wigner import wigner_3j
+
+__all__ = ["fused_uvu_conv"]
+
+
+def _plan_metas(plan: TensorProductPlan):
+    """Static per-path metadata + stacked CG tables [d1*d3-padded rows]."""
+    in1_slices = plan.irreps_in1.slices()
+    in2_slices = plan.irreps_in2.slices()
+    out_slices = plan.irreps_out.slices()
+    raw = []
+    w_off = 0
+    max_d2 = max(mi.ir.dim for mi in plan.irreps_in2)
+    for ins, pw, wshape in zip(plan.instructions, plan.path_weights, plan.weight_shapes):
+        mul1, ir1 = plan.irreps_in1[ins.i_in1]
+        mul2, ir2 = plan.irreps_in2[ins.i_in2]
+        _, ir3 = plan.irreps_out[ins.i_out]
+        assert ins.mode == "uvu" and mul2 == 1
+        c = (wigner_3j(ir1.l, ir2.l, ir3.l) * pw).astype(np.float32)
+        # rows m1-major x m3: C2[d1*d3, d2] for t = C2 @ y
+        c2 = np.ascontiguousarray(
+            c.transpose(0, 2, 1).reshape(ir1.dim * ir3.dim, ir2.dim)
+        )
+        raw.append(
+            dict(
+                x_start=in1_slices[ins.i_in1].start,
+                sh_sl=in2_slices[ins.i_in2],
+                o_start=out_slices[ins.i_out].start,
+                w_start=w_off,
+                c2=c2,
+                mul=mul1,
+                d1=ir1.dim,
+                d2=ir2.dim,
+                d3=ir3.dim,
+            )
+        )
+        w_off += int(np.prod(wshape))
+    # order metas by SH entry so each group's CG rows are contiguous and the
+    # kernel can do one CG matmul per spherical-harmonic degree
+    raw.sort(key=lambda m: (m["sh_sl"].start, m["sh_sl"].stop))
+    metas = []
+    c_blocks = []
+    col_off = 0
+    for m in raw:
+        c2 = m.pop("c2")
+        c2p = np.zeros((c2.shape[0], max_d2), dtype=np.float32)
+        c2p[:, : m["d2"]] = c2
+        m["c_sl"] = slice(col_off, col_off + c2.shape[0])
+        metas.append(m)
+        c_blocks.append(c2p)
+        col_off += c2.shape[0]
+    c_all = np.concatenate(c_blocks, axis=0)  # [total_rows, max_d2]
+    return metas, c_all, max_d2
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(
+    plan: TensorProductPlan,
+    n_edges: int,
+    n_nodes: int,
+    block: int,
+    interpret: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    metas, c_all, max_d2 = _plan_metas(plan)
+    d1 = plan.irreps_in1.dim
+    d2 = plan.irreps_in2.dim
+    dw = plan.weight_numel
+    dout = plan.irreps_out.dim
+    grid = (n_edges // block,)
+
+    def col_block(d):
+        # [feature_rows, edge_block] — features whole, edges blocked on lanes
+        return pl.BlockSpec((d, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    # group CG tables by SH entry so each edge block does ONE CG matmul per
+    # spherical-harmonic degree instead of one per path
+    groups = {}  # i_in2 -> (sh_sl, [meta indices], row offsets)
+    for idx, m in enumerate(metas):
+        key = (m["sh_sl"].start, m["sh_sl"].stop)
+        groups.setdefault(key, []).append(idx)
+
+    def kernel(xT_ref, shT_ref, wT_ref, dst_ref, c_ref, out_ref, msg_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        # destination one-hot [block, n_nodes] for the aggregation matmul
+        dst = dst_ref[:, 0:1]  # [block, 1] int32
+        node_ids = jax.lax.broadcasted_iota(jnp.int32, (block, n_nodes), 1)
+        onehot = (node_ids == dst).astype(jnp.float32)  # [block, N]
+
+        # one CG matmul per SH degree: t_all rows cover every path's d1*d3
+        ts = {}
+        for (a, b), idxs in groups.items():
+            y = shT_ref[a:b, :]  # [d2, B]
+            r0 = metas[idxs[0]]["c_sl"].start
+            r1 = metas[idxs[-1]]["c_sl"].stop
+            cg = c_ref[r0:r1, : (b - a)]
+            ts[(a, b)] = (jnp.dot(cg, y, preferred_element_type=jnp.float32), r0)
+
+        # per-path message assembly into the VMEM message buffer
+        for m in metas:
+            mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
+            t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
+            tb = m["c_sl"].start - r0
+            for u in range(mul):
+                x0 = m["x_start"] + u * pd1
+                xu = xT_ref[x0 : x0 + pd1, :]  # [d1, B]
+                acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
+                for m1 in range(1, pd1):
+                    acc = acc + (
+                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                        * xu[m1 : m1 + 1, :]
+                    )
+                w0 = m["w_start"] + u
+                o0 = m["o_start"] + u * pd3
+                msg_ref[o0 : o0 + pd3, :] = acc * wT_ref[w0 : w0 + 1, :]
+
+        # single aggregation matmul: [Dout, B] @ [B, N] accumulated over blocks
+        out_ref[:, :] += jnp.dot(
+            msg_ref[:, :], onehot, preferred_element_type=jnp.float32
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            col_block(d1),
+            col_block(d2),
+            col_block(dw),
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_all.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (dout, n_nodes), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((dout, n_nodes), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((dout, block), jnp.float32)],
+        interpret=interpret,
+    )
+    c_arr = jnp.asarray(c_all)
+    return lambda xT, shT, wT, dst: call(xT, shT, wT, dst, c_arr)
+
+
+def _reference(plan, x_nodes, sh, w, src, dst, n_nodes):
+    msg = plan.apply(x_nodes[src], sh, w)
+    return jax.ops.segment_sum(msg, dst, num_segments=n_nodes)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
+    @jax.custom_vjp
+    def fused(x_nodes, sh, w, src, dst):
+        n_nodes = x_nodes.shape[0]
+        e = sh.shape[0]
+        blk = min(block, e)
+        e_pad = int(np.ceil(e / blk)) * blk
+        xT = x_nodes.T  # [D1, N]
+        xTg = xT[:, src]  # [D1, E] lane gather
+        shT, wT = sh.T, w.T
+        dst_c = dst.astype(jnp.int32).reshape(-1, 1)
+        if e_pad != e:
+            xTg = jnp.pad(xTg, [(0, 0), (0, e_pad - e)])
+            shT = jnp.pad(shT, [(0, 0), (0, e_pad - e)])
+            wT = jnp.pad(wT, [(0, 0), (0, e_pad - e)])
+            # padded edges carry zero sh/w -> zero message; point at node 0
+            dst_c = jnp.pad(dst_c, [(0, e_pad - e), (0, 0)])
+        call = _build_call(plan, e_pad, n_nodes, blk, interpret)
+        aggT = call(xTg.astype(jnp.float32), shT.astype(jnp.float32),
+                    wT.astype(jnp.float32), dst_c)
+        return aggT.T.astype(x_nodes.dtype)
+
+    def fwd(x_nodes, sh, w, src, dst):
+        return fused(x_nodes, sh, w, src, dst), (x_nodes, sh, w, src, dst)
+
+    def bwd(res, g):
+        x_nodes, sh, w, src, dst = res
+        n_nodes = x_nodes.shape[0]
+        _, vjp = jax.vjp(
+            lambda a, b, c: _reference(plan, a, b, c, src, dst, n_nodes),
+            x_nodes, sh, w,
+        )
+        dx, dsh, dw = vjp(g)
+        return dx, dsh, dw, None, None
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_uvu_conv(
+    plan: TensorProductPlan,
+    x_nodes: jnp.ndarray,
+    sh: jnp.ndarray,
+    w: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Aggregated messages [N, irreps_out.dim] without materializing them.
+
+    Equivalent to  segment_sum(plan.apply(x_nodes[src], sh, w), dst, N).
+    """
+    return _make_fn(plan, block, interpret)(x_nodes, sh, w, src, dst)

@@ -84,6 +84,7 @@ def create_tfn_backbone(
     irreps = m.irreps_out
 
     avg_num_neighbors = _resolve_avg_num_neighbors(hparams, dataset_hparams)
+    graph_axis = hparams.get("graph_parallel_axis", None)
     conv_irreps = Irreps(hparams["conv_layer_irreps"])
     for i in range(hparams.get("num_layers", 3)):
         m = PointConvWithActivation(
@@ -94,6 +95,7 @@ def create_tfn_backbone(
             avg_num_neighbors=avg_num_neighbors,
             activation_type=hparams.get("nonlinearity_type", "gate"),
             normalization=hparams.get("normalization", None),
+            graph_axis=graph_axis,
             name=f"layer{i}_convnet",
         )
         layers.append(m)
@@ -105,6 +107,7 @@ def create_tfn_backbone(
         fc_num_hidden_layers=hparams.get("invariant_layers", 2),
         fc_hidden_size=hparams.get("invariant_neurons", 32),
         avg_num_neighbors=avg_num_neighbors,
+        graph_axis=graph_axis,
         name="conv_layer_last",
     )
     layers.append(m)

@@ -16,6 +16,7 @@ import functools
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,11 +53,22 @@ def _conv_plans(
 
 
 class PointConv(nn.Module):
+    """TFN point convolution.
+
+    `graph_axis`: name of a shard_map mesh axis over which the *edge list*
+    is partitioned (node arrays replicated). Each shard aggregates messages
+    from its local edges; the per-node partial convolutions are combined by
+    a psum over ICI after the (linear) lin2 mixing — the edge-parallel
+    strategy SURVEY.md §7.6 calls for (no reference counterpart; the
+    reference's only parallelism is Lightning DDP).
+    """
+
     irreps_in: IrrepsDictT
     conv_layer_irreps: Irreps
     fc_num_hidden_layers: int = 1
     fc_hidden_size: int = 8
     avg_num_neighbors: Optional[float] = None
+    graph_axis: Optional[str] = None
 
     REQUIRED = (K.NODE_FEATURES, K.NODE_ATTRS, K.EDGE_ATTRS, K.EDGE_EMBEDDING)
 
@@ -104,13 +116,17 @@ class PointConv(nn.Module):
         )
         edge_weights = ScalarMLP(hs=tuple(hs), act="silu", name="radial_mlp")(edge_emb)
 
-        from matten_tpu.kernels.fused_tp import fused_uvu_tp, get_tp_impl
+        from matten_tpu.kernels.fused_tp import get_tp_impl
 
-        if get_tp_impl() == "pallas":
-            msg = fused_uvu_tp(uvu_plan, feats[src], edge_attrs, edge_weights)
+        if get_tp_impl() == "pallas" and self.graph_axis is None:
+            # fused Pallas path: per-edge TP + aggregation without
+            # materializing messages in HBM (kernels/fused_conv.py)
+            from matten_tpu.kernels.fused_conv import fused_uvu_conv
+
+            agg = fused_uvu_conv(uvu_plan, feats, edge_attrs, edge_weights, src, dst)
         else:
             msg = uvu_plan.apply(feats[src], edge_attrs, edge_weights)
-        agg = scatter_sum(msg, dst, num_nodes)
+            agg = scatter_sum(msg, dst, num_nodes)
 
         if self.avg_num_neighbors is not None:
             agg = agg / np.sqrt(self.avg_num_neighbors)
@@ -119,6 +135,11 @@ class PointConv(nn.Module):
             agg = agg / jnp.sqrt(nn_cnt)[:, None]
 
         conv_out = lin2_plan.apply(agg, attrs, w_lin2)
+        if self.graph_axis is not None and not self.is_initializing():
+            # combine per-edge-shard partial convolutions (linear in agg,
+            # so the psum can ride after the cheap lin2 output). Skipped at
+            # init time, which runs outside the shard_map axis context.
+            conv_out = jax.lax.psum(conv_out, self.graph_axis)
 
         data[K.NODE_FEATURES] = self_connection + conv_out
         return data
@@ -136,6 +157,7 @@ class PointConvWithActivation(nn.Module):
     activation_scalars: Optional[Tuple[Tuple[str, str], ...]] = None
     activation_gates: Optional[Tuple[Tuple[str, str], ...]] = None
     normalization: Optional[str] = None
+    graph_axis: Optional[str] = None
 
     def _act_info(self) -> ActivationInfo:
         d = irreps_dict(self.irreps_in)
@@ -169,6 +191,7 @@ class PointConvWithActivation(nn.Module):
             fc_num_hidden_layers=self.fc_num_hidden_layers,
             fc_hidden_size=self.fc_hidden_size,
             avg_num_neighbors=self.avg_num_neighbors,
+            graph_axis=self.graph_axis,
             name="conv",
         )(data)
         x = info.make()(data[K.NODE_FEATURES])

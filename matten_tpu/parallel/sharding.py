@@ -36,8 +36,9 @@ def make_mesh(
     n = len(devices)
     if n_data is None:
         n_data = n // n_graph
-    assert n_data * n_graph == n, f"{n_data}x{n_graph} != {n} devices"
-    arr = np.asarray(devices).reshape(n_data, n_graph)
+    need = n_data * n_graph
+    assert need <= n, f"{n_data}x{n_graph} > {n} devices"
+    arr = np.asarray(devices[:need]).reshape(n_data, n_graph)
     return Mesh(arr, axis_names=("data", "graph"))
 
 

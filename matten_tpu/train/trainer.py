@@ -103,6 +103,7 @@ class Trainer:
         config: TrainerConfig,
         mesh=None,
         data_axis: str = "data",
+        graph_axis: str = "graph",
         metrics_logger=None,  # object with .log(dict, step=) (e.g. WandbLogger)
     ):
         self.model = model
@@ -110,6 +111,7 @@ class Trainer:
         self.config = config
         self.mesh = mesh
         self.data_axis = data_axis
+        self.graph_axis = graph_axis
         self.metrics_logger = metrics_logger
         self.tx = optax.inject_hyperparams(self._make_tx)(
             learning_rate=config.lr, weight_decay=config.weight_decay
@@ -118,7 +120,13 @@ class Trainer:
             factor=config.lr_factor, patience=config.lr_patience
         )
         self.history: List[Dict[str, float]] = []
-        if mesh is not None:
+        self._step_cache: Dict = {}
+        if mesh is not None and dict(mesh.shape).get(graph_axis, 1) > 1:
+            # combined data x edge-partition SPMD; steps built lazily per
+            # batch key-set (field names determine the sharding specs)
+            self._train_step = self._spmd_dispatch("train")
+            self._eval_step = self._spmd_dispatch("eval")
+        elif mesh is not None:
             from jax.sharding import PartitionSpec as P
 
             rep, sh = P(), P(self.data_axis)
@@ -283,6 +291,92 @@ class Trainer:
         loss = jax.lax.pmean(loss, ax)
         ms = jax.tree.map(lambda x: jax.lax.psum(x, ax), ms)
         return loss, ms
+
+    # ---- combined data x edge-partition SPMD (shard_map, vma-checked) ----
+    EDGE_FIELDS = (K.EDGE_INDEX, K.EDGE_CELL_SHIFT, K.EDGE_MASK)
+
+    def _squeeze_mp(self, data: Dict, targets: Dict):
+        d = {
+            k: (v[0, 0] if k in self.EDGE_FIELDS else v[0]) for k, v in data.items()
+        }
+        t = {k: v[0] for k, v in targets.items()}
+        return d, t
+
+    def _mp_train_step_impl(self, state: TrainState, data: Dict, targets: Dict):
+        data, targets = self._squeeze_mp(data, targets)
+        dax = self.data_axis
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, updates = self.model.apply(
+                    variables, data, mutable=["batch_stats"], use_running_average=False
+                )
+            else:
+                out = self.model.apply(variables, data, use_running_average=False)
+                updates = {}
+            preds = out if isinstance(out, dict) else {self.tasks[0].name: out}
+            loss = self._compute_loss(preds, data, targets)
+            # differentiate THROUGH the mean over the data axis so the vma
+            # machinery emits the correct (replicated) parameter gradients
+            loss = jax.lax.pmean(loss, dax)
+            return loss, (updates, preds)
+
+        (loss, (updates, preds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if updates:
+            updates = jax.tree.map(lambda x: jax.lax.pmean(x, dax), updates)
+        ms = jax.tree.map(
+            lambda x: jax.lax.psum(x, dax), self._metric_sums(preds, data, targets)
+        )
+        state = self._apply_updates(state, grads, updates)
+        return state, loss, ms
+
+    def _mp_eval_step_impl(self, state: TrainState, data: Dict, targets: Dict):
+        data, targets = self._squeeze_mp(data, targets)
+        loss, ms = self._eval_core(state, data, targets)
+        loss = jax.lax.pmean(loss, self.data_axis)
+        ms = jax.tree.map(lambda x: jax.lax.psum(x, self.data_axis), ms)
+        return loss, ms
+
+    def _spmd_dispatch(self, kind: str):
+        from jax.sharding import PartitionSpec as P
+
+        def step(state, data, targets):
+            key = (kind, tuple(sorted(data)), tuple(sorted(targets)))
+            if key not in self._step_cache:
+                dax, gax = self.data_axis, self.graph_axis
+                dspec = {
+                    k: (P(dax, gax) if k in self.EDGE_FIELDS else P(dax))
+                    for k in data
+                }
+                tspec = {k: P(dax) for k in targets}
+                rep = P()
+                if kind == "train":
+                    fn = jax.jit(
+                        jax.shard_map(
+                            self._mp_train_step_impl,
+                            mesh=self.mesh,
+                            in_specs=(rep, dspec, tspec),
+                            out_specs=(rep, rep, rep),
+                        ),
+                        donate_argnums=(0,),
+                    )
+                else:
+                    fn = jax.jit(
+                        jax.shard_map(
+                            self._mp_eval_step_impl,
+                            mesh=self.mesh,
+                            in_specs=(rep, dspec, tspec),
+                            out_specs=(rep, rep),
+                        )
+                    )
+                self._step_cache[key] = fn
+            return self._step_cache[key](state, data, targets)
+
+        return step
 
     # ------------------------------------------------------------------
     def _set_lr(self, state: TrainState, lr: float) -> TrainState:

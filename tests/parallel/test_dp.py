@@ -81,7 +81,7 @@ def test_dp_matches_single_device(setup):
     state_s = t_single.init_state(batch_s, rng_seed=0)
 
     # DP over 4 shards of 2 graphs
-    mesh = make_mesh(n_data=4, n_graph=2)
+    mesh = make_mesh(n_data=4, n_graph=1)
     t_dp = Trainer(model, [task], TrainerConfig(max_epochs=1, lr=0.01), mesh=mesh)
     loader_dp = BatchLoader(
         graphs, batch_size=8, species_map=smap, num_shards=4,
@@ -142,3 +142,53 @@ def test_dp_fit_runs_with_batchnorm(setup):
     state = trainer.fit(state, DM())
     assert len(trainer.history) == 2
     assert np.isfinite(trainer.history[-1]["val/score"])
+
+
+def test_edge_partition_matches_single_device(setup):
+    """2 data shards x 4 edge shards == single device (no BN)."""
+    graphs, smap, _ = setup
+    task = CanonicalRegressionTask(name="elastic_tensor_full")
+    ds_info = {
+        "allowed_species": [8, 14],
+        "average_num_neighbors": 20.0,
+        "atom_feats_size": None,
+    }
+
+    model_single = create_scalar_tensor_model(HPARAMS, ds_info)
+    hp_ep = dict(HPARAMS, graph_parallel_axis="graph")
+    model_ep = create_scalar_tensor_model(hp_ep, ds_info)
+
+    t_single = Trainer(model_single, [task], TrainerConfig(max_epochs=1, lr=0.01))
+    loader_s = BatchLoader(
+        graphs, batch_size=8, species_map=smap, node_multiple=32, edge_multiple=512
+    )
+    batch_s = next(iter(loader_s))
+    state_s = t_single.init_state(batch_s, rng_seed=0)
+
+    mesh = make_mesh(n_data=2, n_graph=4)
+    t_ep = Trainer(model_ep, [task], TrainerConfig(max_epochs=1, lr=0.01), mesh=mesh)
+    loader_ep = BatchLoader(
+        graphs, batch_size=8, species_map=smap, num_shards=2, num_edge_shards=4,
+        node_multiple=32, edge_multiple=512,
+    )
+    batch_ep = next(iter(loader_ep))
+    assert batch_ep[0]["edge_index"].shape[:2] == (2, 4)  # [Sd, Sg, 2, E/Sg]
+    state_ep = t_ep.init_state(batch_s, rng_seed=0)
+
+    data_s, targets_s = t_single._to_device(batch_s)
+    s1, loss_s, ms_s = t_single._train_step(state_s, data_s, targets_s)
+
+    import jax.numpy as jnp
+
+    data_ep = {k: jnp.asarray(v) for k, v in batch_ep[0].items()}
+    targets_ep = {k: jnp.asarray(v) for k, v in batch_ep[1].items()}
+    s2, loss_ep, ms_ep = t_ep._train_step(state_ep, data_ep, targets_ep)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ep), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        float(ms_s["elastic_tensor_full"][0]),
+        float(ms_ep["elastic_tensor_full"][0]),
+        rtol=1e-5,
+    )
