@@ -49,8 +49,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from matten_tpu.kernels.fused_tp import set_tp_impl
     from matten_tpu.models import create_scalar_tensor_model
     from matten_tpu.train import CanonicalRegressionTask, Trainer, TrainerConfig
+
+    impl = os.environ.get("MATTEN_TP_IMPL")
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    set_tp_impl(impl)
 
     rng = np.random.default_rng(0)
     data, targets, real_edges, species = build_batch(rng)

@@ -39,8 +39,13 @@ from matten_tpu.ops.wigner import wigner_3j
 __all__ = ["fused_uvu_conv"]
 
 
-def _plan_metas(plan: TensorProductPlan):
-    """Static per-path metadata + stacked CG tables [d1*d3-padded rows]."""
+def _plan_metas(plan: TensorProductPlan, transpose: bool = False):
+    """Static per-path metadata + stacked CG tables.
+
+    transpose=True swaps the roles of the first input and the output
+    (CG[m3, m2, m1] instead of CG[m1, m2, m3]) — the dx backward pass is
+    the forward kernel run on this transposed plan with src/dst swapped.
+    """
     in1_slices = plan.irreps_in1.slices()
     in2_slices = plan.irreps_in2.slices()
     out_slices = plan.irreps_out.slices()
@@ -53,21 +58,27 @@ def _plan_metas(plan: TensorProductPlan):
         _, ir3 = plan.irreps_out[ins.i_out]
         assert ins.mode == "uvu" and mul2 == 1
         c = (wigner_3j(ir1.l, ir2.l, ir3.l) * pw).astype(np.float32)
-        # rows m1-major x m3: C2[d1*d3, d2] for t = C2 @ y
-        c2 = np.ascontiguousarray(
-            c.transpose(0, 2, 1).reshape(ir1.dim * ir3.dim, ir2.dim)
-        )
+        if transpose:
+            c = np.ascontiguousarray(c.transpose(2, 1, 0))  # [m3, m2, m1]
+        # rows a-major x b: C2[da*db, d2] for t = C2 @ y
+        da = c.shape[0]
+        db = c.shape[2]
+        c2 = np.ascontiguousarray(c.transpose(0, 2, 1).reshape(da * db, ir2.dim))
+        x_start = in1_slices[ins.i_in1].start
+        o_start = out_slices[ins.i_out].start
+        if transpose:
+            x_start, o_start = o_start, x_start
         raw.append(
             dict(
-                x_start=in1_slices[ins.i_in1].start,
+                x_start=x_start,
                 sh_sl=in2_slices[ins.i_in2],
-                o_start=out_slices[ins.i_out].start,
+                o_start=o_start,
                 w_start=w_off,
                 c2=c2,
                 mul=mul1,
-                d1=ir1.dim,
+                d1=da,
                 d2=ir2.dim,
-                d3=ir3.dim,
+                d3=db,
             )
         )
         w_off += int(np.prod(wshape))
@@ -96,15 +107,19 @@ def _build_call(
     n_nodes: int,
     block: int,
     interpret: bool,
+    transpose: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    metas, c_all, max_d2 = _plan_metas(plan)
-    d1 = plan.irreps_in1.dim
+    metas, c_all, max_d2 = _plan_metas(plan, transpose=transpose)
+    # transposed plans read gradient rows (out irreps) and write input irreps;
+    # their out entries collide across paths, so message rows accumulate
+    d1 = plan.irreps_out.dim if transpose else plan.irreps_in1.dim
     d2 = plan.irreps_in2.dim
     dw = plan.weight_numel
-    dout = plan.irreps_out.dim
+    dout = plan.irreps_in1.dim if transpose else plan.irreps_out.dim
+    accumulate = transpose
     grid = (n_edges // block,)
 
     def col_block(d):
@@ -139,6 +154,9 @@ def _build_call(
             cg = c_ref[r0:r1, : (b - a)]
             ts[(a, b)] = (jnp.dot(cg, y, preferred_element_type=jnp.float32), r0)
 
+        if accumulate:
+            msg_ref[:, :] = jnp.zeros(msg_ref.shape, msg_ref.dtype)
+
         # per-path message assembly into the VMEM message buffer
         for m in metas:
             mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
@@ -155,7 +173,11 @@ def _build_call(
                     )
                 w0 = m["w_start"] + u
                 o0 = m["o_start"] + u * pd3
-                msg_ref[o0 : o0 + pd3, :] = acc * wT_ref[w0 : w0 + 1, :]
+                val = acc * wT_ref[w0 : w0 + 1, :]
+                if accumulate:
+                    msg_ref[o0 : o0 + pd3, :] += val
+                else:
+                    msg_ref[o0 : o0 + pd3, :] = val
 
         # single aggregation matmul: [Dout, B] @ [B, N] accumulated over blocks
         out_ref[:, :] += jnp.dot(
@@ -183,32 +205,103 @@ def _build_call(
     return lambda xT, shT, wT, dst: call(xT, shT, wT, dst, c_arr)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_dw_call(
+    plan: TensorProductPlan, n_edges: int, block: int, interpret: bool
+):
+    """Radial-weight gradient kernel: dw[e, p, u] = <acc_pu(e), g_dst(e)>."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    metas, c_all, _ = _plan_metas(plan, transpose=False)
+    d1 = plan.irreps_in1.dim
+    d2 = plan.irreps_in2.dim
+    dw = plan.weight_numel
+    dout = plan.irreps_out.dim
+    grid = (n_edges // block,)
+
+    def col_block(d):
+        return pl.BlockSpec((d, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    groups = {}
+    for idx, m in enumerate(metas):
+        groups.setdefault((m["sh_sl"].start, m["sh_sl"].stop), []).append(idx)
+
+    def kernel(xT_ref, shT_ref, gT_ref, c_ref, wg_ref):
+        ts = {}
+        for (a, b), idxs in groups.items():
+            y = shT_ref[a:b, :]
+            r0 = metas[idxs[0]]["c_sl"].start
+            r1 = metas[idxs[-1]]["c_sl"].stop
+            cg = c_ref[r0:r1, : (b - a)]
+            ts[(a, b)] = (jnp.dot(cg, y, preferred_element_type=jnp.float32), r0)
+        for m in metas:
+            mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
+            t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
+            tb = m["c_sl"].start - r0
+            for u in range(mul):
+                x0 = m["x_start"] + u * pd1
+                xu = xT_ref[x0 : x0 + pd1, :]
+                acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
+                for m1 in range(1, pd1):
+                    acc = acc + (
+                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                        * xu[m1 : m1 + 1, :]
+                    )
+                o0 = m["o_start"] + u * pd3
+                gu = gT_ref[o0 : o0 + pd3, :]
+                w0 = m["w_start"] + u
+                wg_ref[w0 : w0 + 1, :] = jnp.sum(acc * gu, axis=0, keepdims=True)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            col_block(d1),
+            col_block(d2),
+            col_block(dout),
+            pl.BlockSpec(c_all.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=col_block(dw),
+        out_shape=jax.ShapeDtypeStruct((dw, n_edges), jnp.float32),
+        interpret=interpret,
+    )
+    c_arr = jnp.asarray(c_all)
+    return lambda xT, shT, gT: call(xT, shT, gT, c_arr)
+
+
 def _reference(plan, x_nodes, sh, w, src, dst, n_nodes):
     msg = plan.apply(x_nodes[src], sh, w)
     return jax.ops.segment_sum(msg, dst, num_segments=n_nodes)
 
 
+def _pad_cols(arrs, e, e_pad):
+    if e_pad == e:
+        return arrs
+    return [jnp.pad(a, [(0, 0), (0, e_pad - e)]) for a in arrs]
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
+    def _prep(sh_rows, e):
+        blk = min(block, e)
+        e_pad = int(np.ceil(e / blk)) * blk
+        return blk, e_pad
+
     @jax.custom_vjp
     def fused(x_nodes, sh, w, src, dst):
         n_nodes = x_nodes.shape[0]
         e = sh.shape[0]
-        blk = min(block, e)
-        e_pad = int(np.ceil(e / blk)) * blk
-        xT = x_nodes.T  # [D1, N]
-        xTg = xT[:, src]  # [D1, E] lane gather
-        shT, wT = sh.T, w.T
-        dst_c = dst.astype(jnp.int32).reshape(-1, 1)
-        if e_pad != e:
-            xTg = jnp.pad(xTg, [(0, 0), (0, e_pad - e)])
-            shT = jnp.pad(shT, [(0, 0), (0, e_pad - e)])
-            wT = jnp.pad(wT, [(0, 0), (0, e_pad - e)])
-            # padded edges carry zero sh/w -> zero message; point at node 0
-            dst_c = jnp.pad(dst_c, [(0, e_pad - e), (0, 0)])
+        blk, e_pad = _prep(sh.shape[0], e)
+        xTg = x_nodes.T[:, src]  # [D1, E] lane gather
+        xTg, shT, wT = _pad_cols(
+            [xTg.astype(jnp.float32), sh.T.astype(jnp.float32), w.T.astype(jnp.float32)],
+            e, e_pad,
+        )
+        # padded edges carry zero sh/w -> zero message; point at node 0
+        dst_c = jnp.pad(dst.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)])
         call = _build_call(plan, e_pad, n_nodes, blk, interpret)
-        aggT = call(xTg.astype(jnp.float32), shT.astype(jnp.float32),
-                    wT.astype(jnp.float32), dst_c)
+        aggT = call(xTg, shT, wT, dst_c)
         return aggT.T.astype(x_nodes.dtype)
 
     def fwd(x_nodes, sh, w, src, dst):
@@ -217,11 +310,39 @@ def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
     def bwd(res, g):
         x_nodes, sh, w, src, dst = res
         n_nodes = x_nodes.shape[0]
-        _, vjp = jax.vjp(
-            lambda a, b, c: _reference(plan, a, b, c, src, dst, n_nodes),
-            x_nodes, sh, w,
+        e = sh.shape[0]
+        blk, e_pad = _prep(sh.shape[0], e)
+
+        gTg = g.T[:, dst]  # [Dout, E] cotangent gathered at destinations
+        xTg = x_nodes.T[:, src]
+        gTg, xTg, shT, wT = _pad_cols(
+            [
+                gTg.astype(jnp.float32),
+                xTg.astype(jnp.float32),
+                sh.T.astype(jnp.float32),
+                w.T.astype(jnp.float32),
+            ],
+            e, e_pad,
         )
-        dx, dsh, dw = vjp(g)
+        src_c = jnp.pad(src.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)])
+
+        # dx: the transposed plan scattered into SOURCE nodes
+        dx_call = _build_call(plan, e_pad, n_nodes, blk, interpret, transpose=True)
+        dxT = dx_call(gTg, shT, wT, src_c)
+        dx = dxT.T.astype(x_nodes.dtype)
+
+        # dw: per-edge inner products of the forward accumulators with g
+        dw_call = _build_dw_call(plan, e_pad, blk, interpret)
+        dwT = dw_call(xTg, shT, gTg)
+        dw = dwT.T[:e].astype(w.dtype)
+
+        # dsh via the XLA reference path; XLA dead-code-eliminates this
+        # entirely when positions are not differentiated (the usual case —
+        # this model family predicts tensors, not forces)
+        _, vjp_sh = jax.vjp(
+            lambda s: _reference(plan, x_nodes, s, w, src, dst, n_nodes), sh
+        )
+        (dsh,) = vjp_sh(g)
         return dx, dsh, dw, None, None
 
     fused.defvjp(fwd, bwd)

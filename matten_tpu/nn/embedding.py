@@ -83,6 +83,42 @@ class SpeciesEmbedding(nn.Module):
         return data
 
 
+class NodeAttrsFromEdgeAttrs(nn.Module):
+    """Node attributes as a segment reduction of edge attributes.
+
+    Reference: NodeAttrsFromEdgeAttrs (nn/embedding.py:114-160).
+    """
+
+    irreps_in: IrrepsDictT
+    field: str = K.EDGE_ATTRS
+    out_field: str = K.NODE_ATTRS
+    reduce: str = "mean"
+
+    @property
+    def irreps_out(self) -> IrrepsDictT:
+        from matten_tpu.nn.common import irreps_dict
+
+        return merge_irreps(
+            self.irreps_in, {self.out_field: irreps_dict(self.irreps_in)[self.field]}
+        )
+
+    def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from matten_tpu.ops.scatter import scatter_mean, scatter_sum
+
+        data = dict(data)
+        _, dst = data[K.EDGE_INDEX]
+        num_nodes = data[K.POSITIONS].shape[0]
+        x = data[self.field]
+        if self.reduce == "mean":
+            out = scatter_mean(x, dst, num_nodes, weights=data.get(K.EDGE_MASK))
+        else:
+            if K.EDGE_MASK in data:
+                x = x * data[K.EDGE_MASK][:, None].astype(x.dtype)
+            out = scatter_sum(x, dst, num_nodes)
+        data[self.out_field] = out
+        return data
+
+
 class EdgeLengthEmbedding(nn.Module):
     """Edge length -> radial basis embedding [E, num_basis].
 

@@ -1,0 +1,69 @@
+"""Pallas fused-conv kernel parity tests (interpreter mode on CPU).
+
+The real-TPU timing/compile checks run via bench.py; here a small plan
+keeps the interpreter fast while covering the kernel's path bookkeeping.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matten_tpu.kernels.fused_conv import _reference, fused_uvu_conv
+from matten_tpu.ops.irreps import Irreps
+from matten_tpu.ops.tensor_product import uvu_tp_plan
+
+
+def _setup(rng, ir1_str="8x0e+4x1o+2x2e", ir2_str="0e+1o+2e", e=100, n=24):
+    ir1 = Irreps(ir1_str)
+    ir2 = Irreps(ir2_str)
+    plan = uvu_tp_plan(ir1, ir2, ir1)
+    x = jnp.asarray(rng.normal(size=(n, ir1.dim)), dtype=jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(e, ir2.dim)), dtype=jnp.float32)
+    w = jnp.asarray(rng.normal(size=(e, plan.weight_numel)), dtype=jnp.float32)
+    src = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
+    dst = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
+    return plan, x, sh, w, src, dst, n
+
+
+def test_forward_parity():
+    rng = np.random.default_rng(0)
+    plan, x, sh, w, src, dst, n = _setup(rng)
+    ref = np.asarray(_reference(plan, x, sh, w, src, dst, n))
+    out = np.asarray(
+        fused_uvu_conv(plan, x, sh, w, src, dst, block=64, interpret=True)
+    )
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
+
+
+def test_gradient_parity():
+    rng = np.random.default_rng(1)
+    plan, x, sh, w, src, dst, n = _setup(rng, e=70, n=16)
+
+    def loss_fused(x, sh, w):
+        return (
+            fused_uvu_conv(plan, x, sh, w, src, dst, block=64, interpret=True) ** 2
+        ).sum()
+
+    def loss_ref(x, sh, w):
+        return (_reference(plan, x, sh, w, src, dst, n) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, sh, w)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, sh, w)
+    for a, b in zip(g1, g2):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4
+        )
+
+
+def test_edge_padding():
+    """Edge count not divisible by the block: zero-padded edges are inert."""
+    rng = np.random.default_rng(2)
+    plan, x, sh, w, src, dst, n = _setup(rng, e=37, n=8)
+    ref = np.asarray(_reference(plan, x, sh, w, src, dst, n))
+    out = np.asarray(
+        fused_uvu_conv(plan, x, sh, w, src, dst, block=32, interpret=True)
+    )
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
