@@ -152,6 +152,7 @@ class TensorDataModule:
         atom_selector: Optional[str] = None,
         scalar_target_names: Optional[List[str]] = None,
         log_scalar_targets: Optional[List[bool]] = None,
+        normalize_scalar_targets: Optional[List[bool]] = None,
         root: str = ".",
         reuse: bool = True,  # accepted for config compat; conversion is fast
         compute_dataset_statistics: bool = True,
@@ -176,6 +177,7 @@ class TensorDataModule:
             train=trainset_filename, val=valset_filename, test=testset_filename
         )
         self.normalize_tensor_target = normalize_tensor_target
+        self.normalize_scalar_targets = normalize_scalar_targets
         self.compute_dataset_statistics = compute_dataset_statistics
         self.loader_kwargs = dict(loader_kwargs or {})
         self.seed = seed
@@ -204,6 +206,15 @@ class TensorDataModule:
                 for g in self.graphs[split]:
                     name = self.cfg.tensor_target_name
                     g.y[name] = np.asarray(tn.forward(g.y[name]))
+        for name, do in zip(
+            self.cfg.scalar_target_names, self.normalize_scalar_targets or ()
+        ):
+            if not do:
+                continue
+            sn = self.statistics.scalar_normalizers[name]
+            for split in self.graphs:
+                for g in self.graphs[split]:
+                    g.y[name] = np.asarray(sn.forward(np.atleast_2d(g.y[name])))
 
     def get_to_model_info(self) -> Dict[str, Any]:
         """The dataset -> model hand-off (reference

@@ -184,10 +184,17 @@ class DatasetStatistics:
             tnorm.compute_statistics(data)
             if not normalize_tensor_target:
                 pass  # statistics still recorded for metrics/inspection
+        scalar_norms: Dict[str, ScalarNormalize] = {}
+        for name in cfg.scalar_target_names:
+            vals = np.concatenate([np.atleast_2d(g.y[name]) for g in graphs])
+            sn = ScalarNormalize(num_features=vals.shape[-1])
+            sn.compute_statistics(vals)
+            scalar_norms[name] = sn
         return cls(
             allowed_species=tuple(zs),
             average_num_neighbors=avg_nn,
             target_normalizer=tnorm,
+            scalar_normalizers=scalar_norms,
         )
 
     # ---- (de)serialization -------------------------------------------------
@@ -215,10 +222,20 @@ class DatasetStatistics:
                 mean=np.asarray(arrays["target_mean"]),
                 norm=np.asarray(arrays["target_norm"]),
             )
+        scalar_norms: Dict[str, ScalarNormalize] = {}
+        for k in arrays:
+            if k.startswith("scalar_") and k.endswith("_mean"):
+                name = k[len("scalar_") : -len("_mean")]
+                mean = np.asarray(arrays[k])
+                std = np.asarray(arrays[f"scalar_{name}_std"])
+                scalar_norms[name] = ScalarNormalize(
+                    num_features=mean.shape[-1], mean=mean, std=std
+                )
         return cls(
             allowed_species=tuple(int(z) for z in np.asarray(arrays["allowed_species"])),
             average_num_neighbors=float(arrays["average_num_neighbors"]),
             target_normalizer=tnorm,
+            scalar_normalizers=scalar_norms,
         )
 
     def save(self, path) -> None:

@@ -349,6 +349,19 @@ def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
     return fused
 
 
+def fits_vmem(plan: TensorProductPlan, n_nodes: int, block: int = 256) -> bool:
+    """Whether the VMEM-resident accumulator strategy applies.
+
+    The [D_out, N] accumulator + [D_out, block] message scratch + input
+    blocks must fit in ~16 MB of VMEM. Beyond that the caller should use
+    the XLA tier (node-chunked kernel variants are a future tier).
+    """
+    dout = plan.irreps_out.dim
+    d_in = plan.irreps_in1.dim + plan.irreps_in2.dim + plan.weight_numel
+    bytes_needed = 4 * (dout * n_nodes + dout * block + 2 * d_in * block)
+    return bytes_needed < 13 * 1024 * 1024
+
+
 def fused_uvu_conv(
     plan: TensorProductPlan,
     x_nodes: jnp.ndarray,
@@ -362,5 +375,8 @@ def fused_uvu_conv(
     """Aggregated messages [N, irreps_out.dim] without materializing them.
 
     Equivalent to  segment_sum(plan.apply(x_nodes[src], sh, w), dst, N).
+    Falls back to the XLA tier when the accumulator would not fit in VMEM.
     """
+    if not fits_vmem(plan, x_nodes.shape[0], block):
+        return _reference(plan, x_nodes, sh, w, src, dst, x_nodes.shape[0])
     return _make_fn(plan, block, interpret)(x_nodes, sh, w, src, dst)
