@@ -370,13 +370,18 @@ def fused_uvu_conv(
     src: jnp.ndarray,
     dst: jnp.ndarray,
     block: int = 256,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jnp.ndarray:
     """Aggregated messages [N, irreps_out.dim] without materializing them.
 
     Equivalent to  segment_sum(plan.apply(x_nodes[src], sh, w), dst, N).
     Falls back to the XLA tier when the accumulator would not fit in VMEM.
+    `interpret=None` follows the global tier config (set_tp_impl).
     """
+    if interpret is None:
+        from matten_tpu.kernels import fused_tp
+
+        interpret = fused_tp._INTERPRET
     if not fits_vmem(plan, x_nodes.shape[0], block):
         return _reference(plan, x_nodes, sh, w, src, dst, x_nodes.shape[0])
     return _make_fn(plan, block, interpret)(x_nodes, sh, w, src, dst)

@@ -415,7 +415,13 @@ class Trainer:
         out["score"] = score
         return out
 
-    def fit(self, state: TrainState, datamodule) -> TrainState:
+    def restore_last(self, template: TrainState) -> TrainState:
+        """Resume from the `last` checkpoint (reference `restore: true`
+        semantics, SURVEY.md §5.3)."""
+        assert self._ckpt_manager is not None, "no checkpoint_dir configured"
+        return self._ckpt_manager.restore(template, last=True)
+
+    def fit(self, state: TrainState, datamodule, start_epoch: int = 0) -> TrainState:
         cfg = self.config
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
@@ -425,7 +431,7 @@ class Trainer:
         epochs_no_improve = 0
         t_start = time.time()
 
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             train_losses = []
             for batch in train_loader:

@@ -1,0 +1,188 @@
+"""Data-layer tests: structures, neighbor lists, batching, transforms, datasets."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from matten_tpu.data.dataset import (
+    DatasetStatistics,
+    TensorDatasetConfig,
+    load_tensor_dataset,
+)
+from matten_tpu.data.graph import CrystalGraph, PadSpec, collate_graphs
+from matten_tpu.data.neighborlist import (
+    NeighborListError,
+    _load_native,
+    periodic_radius_graph,
+)
+from matten_tpu.data.structure import SYMBOL_TO_Z, Structure
+from matten_tpu.data.transform import MeanNormNormalize, ScalarNormalize
+from matten_tpu.ops.irreps import Irreps
+
+REF_DATASETS = Path("/root/reference/datasets")
+
+
+class TestStructure:
+    def test_pymatgen_dict_roundtrip(self):
+        s = Structure(
+            lattice=np.diag([4.0, 5.0, 6.0]),
+            frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+            atomic_numbers=[14, 8],
+        )
+        d = s.to_dict()
+        s2 = Structure.from_dict(d)
+        np.testing.assert_allclose(s2.lattice, s.lattice)
+        np.testing.assert_allclose(s2.frac_coords, s.frac_coords)
+        assert list(s2.atomic_numbers) == [14, 8]
+        assert s2.species == ["Si", "O"]
+
+    def test_symbol_table(self):
+        assert SYMBOL_TO_Z["H"] == 1
+        assert SYMBOL_TO_Z["Si"] == 14
+        assert SYMBOL_TO_Z["U"] == 92
+
+    def test_cart_coords(self):
+        s = Structure(np.diag([2.0, 2.0, 2.0]), [[0.5, 0.5, 0.5]], [1])
+        np.testing.assert_allclose(s.cart_coords, [[1.0, 1.0, 1.0]])
+
+
+class TestNeighborList:
+    def test_native_numpy_parity(self):
+        rng = np.random.default_rng(0)
+        if _load_native() is None:
+            pytest.skip("native backend unavailable")
+        for _ in range(10):
+            n = int(rng.integers(2, 20))
+            cell = np.eye(3) * rng.uniform(3, 8) + rng.normal(size=(3, 3)) * 0.3
+            pos = rng.uniform(0, 1, (n, 3)) @ cell
+            a = periodic_radius_graph(pos, cell, 5.0, backend="native")
+            b = periodic_radius_graph(pos, cell, 5.0, backend="numpy")
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_allclose(a[1], b[1])
+            np.testing.assert_array_equal(a[2], b[2])
+
+    def test_semantics(self):
+        # simple cubic, one atom: 6 nearest periodic images within 1.1*a
+        cell = np.eye(3) * 3.0
+        pos = np.zeros((1, 3))
+        ei, shifts, nn = periodic_radius_graph(pos, cell, 3.3)
+        assert ei.shape[1] == 6  # +-x, +-y, +-z images
+        assert nn[0] == 6
+        # all are cross-image self edges
+        assert np.all(ei[0] == 0) and np.all(ei[1] == 0)
+        assert not np.any(np.all(shifts == 0, axis=1))
+
+    def test_no_edges_raises(self):
+        with pytest.raises(NeighborListError):
+            periodic_radius_graph(
+                np.zeros((1, 3)), np.eye(3) * 50.0, 1.0
+            )
+
+    def test_directed_symmetry(self):
+        # r_cut must not sit exactly on an interatomic distance (the strict
+        # < comparison is FP-direction-dependent there, as in ASE)
+        rng = np.random.default_rng(1)
+        cell = np.eye(3) * 4.0
+        pos = rng.uniform(0, 4, (5, 3))
+        ei, shifts, _ = periodic_radius_graph(pos, cell, 3.9)
+        # for every (i, j, S) there is (j, i, -S)
+        fwd = {(i, j, *s) for i, j, s in zip(ei[0], ei[1], map(tuple, shifts))}
+        for i, j, s in zip(ei[0], ei[1], shifts):
+            assert (j, i, *(-s)) in fwd
+
+
+class TestCollation:
+    def test_mask_and_offsets(self):
+        rng = np.random.default_rng(2)
+        gs = []
+        for n in (3, 5):
+            s = Structure(
+                np.eye(3) * 4.0, rng.uniform(0, 1, (n, 3)), [14] * n
+            )
+            g = CrystalGraph.from_structure(s, r_cut=4.0)
+            g.y["t"] = rng.normal(size=(1, 4))
+            gs.append(g)
+        pad = PadSpec(16, 256, 4)
+        data, targets = collate_graphs(gs, pad)
+        assert data["pos"].shape == (16, 3)
+        assert data["node_mask"].sum() == 8
+        assert data["graph_mask"].sum() == 2
+        assert targets["t"].shape == (4, 4)
+        # dst-sorted edges
+        dst = data["edge_index"][1]
+        assert np.all(np.diff(dst) >= 0)
+        # second graph's nodes offset by 3
+        assert set(data["batch"][:8]) == {0, 1}
+        # dummy edges point at the last padded node
+        assert np.all(data["edge_index"][:, ~data["edge_mask"]] == 15)
+
+
+class TestTransforms:
+    def test_meannorm_semantics(self):
+        rng = np.random.default_rng(3)
+        irreps = Irreps("2x0e+1x1o")
+        data = rng.normal(size=(100, irreps.dim)) * 3.0 + 2.0
+        n = MeanNormNormalize(irreps=irreps)
+        n.compute_statistics(data)
+        out = np.asarray(n.forward(data))
+        # scalars: standardized
+        assert abs(out[:, :2].mean()) < 0.1
+        # l=1: norm-normalized only (no mean subtraction)
+        assert np.all(n.mean[2:] == 0)
+        # roundtrip
+        np.testing.assert_allclose(np.asarray(n.inverse(out)), data, atol=1e-5)
+
+    def test_scalar_normalize(self):
+        rng = np.random.default_rng(4)
+        d = rng.normal(size=(50, 3)) * 5 + 7
+        n = ScalarNormalize(num_features=3)
+        n.compute_statistics(d)
+        o = np.asarray(n.forward(d))
+        np.testing.assert_allclose(o.mean(0), 0.0, atol=1e-6)
+        np.testing.assert_allclose(o.std(0), 1.0, atol=1e-2)
+
+
+@pytest.mark.skipif(not REF_DATASETS.exists(), reason="reference datasets absent")
+class TestRealDatasets:
+    def test_elasticity_dataset(self):
+        cfg = TensorDatasetConfig(r_cut=5.0)
+        graphs, failed = load_tensor_dataset(
+            REF_DATASETS / "example_crystal_elasticity_tensor_n100.json", cfg
+        )
+        assert len(graphs) == 100 and not failed
+        g = graphs[0]
+        assert g.y["elastic_tensor_full"].shape == (1, 21)
+        stats = DatasetStatistics.compute(graphs, cfg)
+        assert 20 < stats.average_num_neighbors < 60
+        assert len(stats.allowed_species) > 10
+
+    def test_nmr_dataset(self):
+        cfg = TensorDatasetConfig(
+            r_cut=5.0,
+            tensor_target_name="nmr_tensor",
+            tensor_target_formula="ij=ji",
+            atom_selector="atom_selector",
+        )
+        graphs, failed = load_tensor_dataset(REF_DATASETS / "si_nmr_data.json", cfg)
+        assert len(graphs) == 421 and not failed
+        g = graphs[0]
+        n = g.num_nodes
+        assert g.y["nmr_tensor"].shape == (n, 6)
+        assert g.y["atom_selector"].shape == (n,)
+        # targets only on selected atoms
+        unselected = ~g.y["atom_selector"]
+        np.testing.assert_allclose(g.y["nmr_tensor"][unselected], 0.0)
+
+    def test_statistics_save_load(self, tmp_path):
+        cfg = TensorDatasetConfig(r_cut=5.0)
+        graphs, _ = load_tensor_dataset(
+            REF_DATASETS / "example_crystal_elasticity_tensor_n100.json", cfg
+        )
+        stats = DatasetStatistics.compute(graphs[:10], cfg)
+        stats.save(tmp_path / "stats.npz")
+        loaded = DatasetStatistics.load(tmp_path / "stats.npz", cfg)
+        assert loaded.allowed_species == stats.allowed_species
+        np.testing.assert_allclose(
+            loaded.target_normalizer.mean, stats.target_normalizer.mean
+        )

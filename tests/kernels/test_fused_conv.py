@@ -67,3 +67,45 @@ def test_edge_padding():
     )
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
+
+
+def test_model_level_parity():
+    """Full PointConv forward with pallas tier == xla tier (interpret)."""
+    from matten_tpu.data import keys as K
+    from matten_tpu.kernels import fused_tp
+    from matten_tpu.nn.common import freeze_irreps
+    from matten_tpu.nn.conv import PointConv
+
+    rng = np.random.default_rng(3)
+    feats = Irreps("4x0e+2x1o")
+    attrs = Irreps("2x0e")
+    sh = Irreps("0e+1o")
+    n, e = 10, 40
+    data = {
+        K.NODE_FEATURES: jnp.asarray(rng.normal(size=(n, feats.dim)), dtype=jnp.float32),
+        K.NODE_ATTRS: jnp.asarray(rng.normal(size=(n, attrs.dim)), dtype=jnp.float32),
+        K.EDGE_ATTRS: jnp.asarray(rng.normal(size=(e, sh.dim)), dtype=jnp.float32),
+        K.EDGE_EMBEDDING: jnp.asarray(rng.normal(size=(e, 8)), dtype=jnp.float32),
+        K.EDGE_INDEX: jnp.asarray(
+            np.stack([
+                np.sort(rng.integers(0, n, e)),
+                np.sort(rng.integers(0, n, e)),
+            ]).astype(np.int32)
+        ),
+        K.NUM_NEIGH: jnp.asarray(np.full(n, 4.0), dtype=jnp.float32),
+    }
+    conv = PointConv(
+        irreps_in=freeze_irreps(
+            {K.NODE_FEATURES: feats, K.NODE_ATTRS: attrs, K.EDGE_ATTRS: sh}
+        ),
+        conv_layer_irreps=Irreps("4x0e+2x1o+2x1e"),
+        avg_num_neighbors=4.0,
+    )
+    variables = conv.init(jax.random.PRNGKey(0), data)
+    out_xla = np.asarray(conv.apply(variables, data)[K.NODE_FEATURES])
+    try:
+        fused_tp.set_tp_impl("pallas", interpret=True)
+        out_pl = np.asarray(conv.apply(variables, data)[K.NODE_FEATURES])
+    finally:
+        fused_tp.set_tp_impl("xla")
+    np.testing.assert_allclose(out_pl, out_xla, atol=1e-5)
