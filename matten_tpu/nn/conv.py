@@ -104,9 +104,29 @@ class PointConv(nn.Module):
         w_lin1 = self.param("w_lin1", normal_initializer(), (lin1_plan.weight_numel,))
         w_lin2 = self.param("w_lin2", normal_initializer(), (lin2_plan.weight_numel,))
 
-        self_connection = sc_plan.apply(feats, attrs, w_sc)
+        # node_attrs is the species one-hot (SpeciesEmbedding); when the
+        # species index is available, gather per-species weight matrices
+        # instead of contracting against the S-wide one-hot (S-fold FLOPs)
+        # the gather only beats the one-hot contraction when the species
+        # count is large (the real elasticity set has ~70 species; the
+        # contraction wins for a handful)
+        onehot = (
+            K.SPECIES_INDEX in data
+            and attrs.shape[-1] >= 16
+            and sc_plan.in2_is_onehot_compatible
+            and lin1_plan.in2_is_onehot_compatible
+            and lin2_plan.in2_is_onehot_compatible
+        )
+        if onehot:
+            idx = jnp.clip(data[K.SPECIES_INDEX], 0, attrs.shape[-1] - 1)
+            mask = data.get(K.NODE_MASK)
+            apply_sc = lambda x, w, p: p.apply_onehot2(x, idx, w, mask=mask)
+        else:
+            apply_sc = lambda x, w, p: p.apply(x, attrs, w)
 
-        feats = lin1_plan.apply(feats, attrs, w_lin1)
+        self_connection = apply_sc(feats, w_sc, sc_plan)
+
+        feats = apply_sc(feats, w_lin1, lin1_plan)
 
         # radial MLP -> per-edge uvu weights
         hs = (
@@ -134,7 +154,7 @@ class PointConv(nn.Module):
             nn_cnt = jnp.maximum(data[K.NUM_NEIGH], 1.0)
             agg = agg / jnp.sqrt(nn_cnt)[:, None]
 
-        conv_out = lin2_plan.apply(agg, attrs, w_lin2)
+        conv_out = apply_sc(agg, w_lin2, lin2_plan)
         if self.graph_axis is not None and not self.is_initializing():
             # combine per-edge-shard partial convolutions (linear in agg,
             # so the psum can ride after the cheap lin2 output). Skipped at

@@ -205,6 +205,60 @@ class TensorProductPlan:
             batch_shape + (0,), dtype=dtype
         )
 
+    @property
+    def in2_is_onehot_compatible(self) -> bool:
+        """True when irreps_in2 is a single scalar (0e) entry — the species
+        one-hot case, where `apply_onehot2` avoids the S-fold redundant
+        contraction."""
+        return (
+            len(self.irreps_in2) == 1
+            and self.irreps_in2[0].ir == Irrep(0, 1)
+            and all(ins.mode == "uvw" and ins.has_weight for ins in self.instructions)
+        )
+
+    def apply_onehot2(
+        self,
+        x1: jnp.ndarray,
+        idx: jnp.ndarray,
+        weights: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Specialized apply for x2 = one_hot(idx) with all-scalar irreps_in2.
+
+        Mathematically identical to `apply(x1, one_hot(idx), weights)` (the
+        l (x) 0e -> l CG is delta/sqrt(2l+1)) but gathers the per-species
+        weight matrices instead of contracting against the S-wide one-hot —
+        an S-fold FLOP reduction for the node-wise mixing FCTPs of the
+        convolution. `mask` zeroes rows whose one-hot would be all zeros
+        (padded nodes).
+        """
+        assert self.in2_is_onehot_compatible, "plan is not one-hot specializable"
+        dtype = x1.dtype
+        wsplit = self.split_weights(weights)
+        chunks = [None] * len(self.irreps_out)
+        for ins, pw, w in zip(self.instructions, self.path_weights, wsplit):
+            mul1, ir1 = self.irreps_in1[ins.i_in1]
+            mul_out, ir_out = self.irreps_out[ins.i_out]
+            assert ir_out == ir1
+            b1 = x1[..., self._in1_slices[ins.i_in1]].reshape(
+                x1.shape[:-1] + (mul1, ir1.dim)
+            )
+            c0 = float(wigner_3j(ir1.l, 0, ir1.l)[0, 0, 0])  # = 1/sqrt(2l+1)
+            w_sel = w[:, idx, :]  # [u, N, w_out]
+            res = jnp.einsum("nui,unw->nwi", b1, w_sel.astype(dtype)) * (pw * c0)
+            res = res.reshape(res.shape[:-2] + (mul_out * ir_out.dim,))
+            chunks[ins.i_out] = res if chunks[ins.i_out] is None else chunks[ins.i_out] + res
+        out = []
+        for i, (mul, ir) in enumerate(self.irreps_out):
+            if chunks[i] is None:
+                out.append(jnp.zeros(x1.shape[:-1] + (mul * ir.dim,), dtype=dtype))
+            else:
+                out.append(chunks[i])
+        res = jnp.concatenate(out, axis=-1)
+        if mask is not None:
+            res = res * mask[:, None].astype(dtype)
+        return res
+
     def __repr__(self) -> str:
         return (
             f"TensorProductPlan({self.irreps_in1} x {self.irreps_in2} "
