@@ -43,6 +43,7 @@ class BatchLoader:
         drop_last: bool = False,
         num_shards: int = 1,
         num_edge_shards: int = 1,
+        node_shard: bool = False,
     ):
         """num_shards > 1 yields stacked per-shard batches [S, ...] for SPMD
         data parallelism (each shard is an independently padded sub-batch
@@ -62,6 +63,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_shards = num_shards
         self.num_edge_shards = num_edge_shards
+        self.node_shard = node_shard
         self._rng = np.random.default_rng(seed)
         # one global bucket per loader: max over a worst-case (sub-)batch, so
         # every batch compiles to the same program
@@ -82,6 +84,44 @@ class BatchLoader:
     def __len__(self) -> int:
         n = len(self.graphs)
         return n // self.batch_size if self.drop_last else int(np.ceil(n / self.batch_size))
+
+    NODE_FIELDS = (
+        "pos", "atomic_numbers", "species_index", "num_neigh", "batch", "node_mask",
+    )
+
+    def _shard_nodes_and_edges(self, data: Dict) -> Dict:
+        """Node-sharded layout: nodes in Sg contiguous chunks; each edge
+        lives with the shard owning its destination (src ids stay global,
+        dst ids become local). Dummy fill edges get a huge cell shift so
+        their radial window (and hence all message weights) is zero."""
+        sg = self.num_edge_shards
+        n = data["pos"].shape[0]
+        assert n % sg == 0, f"padded nodes {n} not divisible by {sg}"
+        c = n // sg
+        data = dict(data)
+        src, dst = data["edge_index"]
+        real = data["edge_mask"]
+        owner = dst // c
+        cap = 2 * (data["edge_index"].shape[1] // sg)
+        ei = np.zeros((sg, 2, cap), dtype=np.int32)
+        shift = np.full((sg, cap, 3), 1e6, dtype=data["edge_cell_shift"].dtype)
+        mask = np.zeros((sg, cap), dtype=bool)
+        for s in range(sg):
+            sel = real & (owner == s)
+            k = int(sel.sum())
+            assert k <= cap, f"edge shard {s} overflow ({k} > {cap})"
+            ei[s, 0, :k] = src[sel]
+            ei[s, 1, :k] = dst[sel] - s * c
+            shift[s, :k] = data["edge_cell_shift"][sel]
+            mask[s, :k] = True
+        data["edge_index"] = ei
+        data["edge_cell_shift"] = shift
+        data["edge_mask"] = mask
+        for key in self.NODE_FIELDS:
+            if key in data:
+                v = data[key]
+                data[key] = v.reshape((sg, c) + v.shape[1:])
+        return data
 
     def _shard_edges(self, data: Dict) -> Dict:
         """Split the dst-sorted edge arrays into contiguous chunks [Sg, ...]."""
@@ -116,7 +156,11 @@ class BatchLoader:
                     species_map=self.species_map,
                 )
                 if self.num_edge_shards > 1:
-                    d = self._shard_edges(d)
+                    d = (
+                        self._shard_nodes_and_edges(d)
+                        if self.node_shard
+                        else self._shard_edges(d)
+                    )
                 shards.append((d, t))
             # ragged tail shards reuse graphs[:1] but zero the masks so they
             # contribute nothing
@@ -178,6 +222,7 @@ class TensorDataModule:
         )
         self.normalize_tensor_target = normalize_tensor_target
         self.normalize_scalar_targets = normalize_scalar_targets
+        self.reuse = reuse
         self.compute_dataset_statistics = compute_dataset_statistics
         self.loader_kwargs = dict(loader_kwargs or {})
         self.seed = seed
@@ -186,10 +231,37 @@ class TensorDataModule:
         self.statistics: Optional[DatasetStatistics] = None
         self.species_map: Optional[np.ndarray] = None
 
+    def _cache_path(self, fname: str) -> Path:
+        """Processed-graph cache (the reference's InMemoryDataset *_data.pt
+        analog, data/dataset.py:123-152)."""
+        import hashlib
+
+        cfg = self.cfg
+        key = hashlib.md5(
+            f"{fname}|{cfg.r_cut}|{cfg.tensor_target_name}|{cfg.tensor_target_format}|"
+            f"{cfg.tensor_target_formula}|{cfg.atom_selector}|{cfg.scalar_target_names}|"
+            f"{cfg.log_scalar_targets}|{cfg.tensor_target_scale}".encode()
+        ).hexdigest()[:12]
+        return Path(self.root) / "processed" / f"{Path(fname).stem}_{key}.pkl"
+
     def setup(self) -> None:
+        import pickle
+
         for split, fname in self.filenames.items():
             path = self.root / fname
+            cache = self._cache_path(fname)
+            if self.reuse and cache.exists():
+                with open(cache, "rb") as f:
+                    self.graphs[split], self.failed[split] = pickle.load(f)
+                logger.info("%s: %d graphs (cached)", split, len(self.graphs[split]))
+                continue
             self.graphs[split], self.failed[split] = load_tensor_dataset(path, self.cfg)
+            try:
+                cache.parent.mkdir(parents=True, exist_ok=True)
+                with open(cache, "wb") as f:
+                    pickle.dump((self.graphs[split], self.failed[split]), f)
+            except OSError as e:  # read-only dataset roots: skip caching
+                logger.debug("graph cache not written (%s)", e)
             logger.info(
                 "%s: %d graphs (%d failed rows)",
                 split,

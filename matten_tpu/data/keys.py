@@ -27,6 +27,8 @@ EDGE_VECTORS = "edge_vectors"
 EDGE_LENGTH = "edge_length"
 ATOM_FEATS = "atom_feats"
 
+POS_FULL = "pos_full"  # [N_total, 3] halo-gathered positions (node-sharded mode)
+
 # --- padding masks (TPU static shapes; no reference counterpart) ------------
 NODE_MASK = "node_mask"  # [N] bool, True = real node
 EDGE_MASK = "edge_mask"  # [E] bool, True = real edge

@@ -53,6 +53,10 @@ def create_tfn_backbone(
     irreps = freeze_irreps({K.POSITIONS: Irreps("1o")})
     layers = []
 
+    graph_axis = hparams.get("graph_parallel_axis", None)
+    graph_shard_mode = hparams.get("graph_parallel_mode", "edge")
+    gather_axis = graph_axis if graph_shard_mode == "node" else None
+
     m = SpeciesEmbedding(
         irreps_in=irreps,
         allowed_species=tuple(int(z) for z in dataset_hparams["allowed_species"]),
@@ -67,6 +71,7 @@ def create_tfn_backbone(
     m = SphericalHarmonicEdgeAttrs(
         irreps_in=irreps,
         irreps_edge_sh=Irreps(hparams["irreps_edge_sh"]),
+        gather_axis=gather_axis,
         name="spharm_edges",
     )
     layers.append(m)
@@ -78,13 +83,13 @@ def create_tfn_backbone(
         start=hparams.get("radial_basis_start", 0.0),
         end=hparams.get("radial_basis_end", 5.0),
         basis=hparams.get("radial_basis_type", "bessel"),
+        gather_axis=gather_axis,
         name="radial_basis",
     )
     layers.append(m)
     irreps = m.irreps_out
 
     avg_num_neighbors = _resolve_avg_num_neighbors(hparams, dataset_hparams)
-    graph_axis = hparams.get("graph_parallel_axis", None)
     conv_irreps = Irreps(hparams["conv_layer_irreps"])
     for i in range(hparams.get("num_layers", 3)):
         m = PointConvWithActivation(
@@ -96,6 +101,7 @@ def create_tfn_backbone(
             activation_type=hparams.get("nonlinearity_type", "gate"),
             normalization=hparams.get("normalization", None),
             graph_axis=graph_axis,
+            graph_shard_mode=graph_shard_mode,
             name=f"layer{i}_convnet",
         )
         layers.append(m)
@@ -108,6 +114,7 @@ def create_tfn_backbone(
         fc_hidden_size=hparams.get("invariant_neurons", 32),
         avg_num_neighbors=avg_num_neighbors,
         graph_axis=graph_axis,
+        graph_shard_mode=graph_shard_mode,
         name="conv_layer_last",
     )
     layers.append(m)
@@ -129,6 +136,7 @@ def create_tfn_backbone(
             field=OUT_FIELD,
             out_field=OUT_FIELD,
             reduce=pooling,
+            axis=graph_axis if graph_shard_mode == "node" else None,
             name="output_pooling",
         )
         layers.append(m)

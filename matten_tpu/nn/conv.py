@@ -69,6 +69,10 @@ class PointConv(nn.Module):
     fc_hidden_size: int = 8
     avg_num_neighbors: Optional[float] = None
     graph_axis: Optional[str] = None
+    # "edge": edges sharded, nodes replicated, partial convs psum'd.
+    # "node": nodes AND edges sharded (edges live with their dst owner);
+    #         source features halo-gathered over ICI, aggregation local.
+    graph_shard_mode: str = "edge"
 
     REQUIRED = (K.NODE_FEATURES, K.NODE_ATTRS, K.EDGE_ATTRS, K.EDGE_EMBEDDING)
 
@@ -136,6 +140,18 @@ class PointConv(nn.Module):
         )
         edge_weights = ScalarMLP(hs=tuple(hs), act="silu", name="radial_mlp")(edge_emb)
 
+        node_shard = (
+            self.graph_axis is not None
+            and self.graph_shard_mode == "node"
+            and not self.is_initializing()
+        )
+        if node_shard:
+            # halo exchange: gather every shard's (post-lin1) node features
+            # over ICI; src ids are global, aggregation is dst-local
+            feats_src = jax.lax.all_gather(feats, self.graph_axis, tiled=True)
+        else:
+            feats_src = feats
+
         from matten_tpu.kernels.fused_tp import get_tp_impl
 
         if get_tp_impl() == "pallas" and self.graph_axis is None:
@@ -145,7 +161,7 @@ class PointConv(nn.Module):
 
             agg = fused_uvu_conv(uvu_plan, feats, edge_attrs, edge_weights, src, dst)
         else:
-            msg = uvu_plan.apply(feats[src], edge_attrs, edge_weights)
+            msg = uvu_plan.apply(feats_src[src], edge_attrs, edge_weights)
             agg = scatter_sum(msg, dst, num_nodes)
 
         if self.avg_num_neighbors is not None:
@@ -155,10 +171,16 @@ class PointConv(nn.Module):
             agg = agg / jnp.sqrt(nn_cnt)[:, None]
 
         conv_out = apply_sc(agg, w_lin2, lin2_plan)
-        if self.graph_axis is not None and not self.is_initializing():
-            # combine per-edge-shard partial convolutions (linear in agg,
-            # so the psum can ride after the cheap lin2 output). Skipped at
-            # init time, which runs outside the shard_map axis context.
+        if (
+            self.graph_axis is not None
+            and self.graph_shard_mode == "edge"
+            and not self.is_initializing()
+        ):
+            # edge-shard mode: combine per-shard partial convolutions
+            # (linear in agg, so the psum rides after the cheap lin2
+            # output). In node-shard mode the aggregation is already
+            # complete locally — edges live with their dst owner. Skipped
+            # at init time (outside the shard_map axis context).
             conv_out = jax.lax.psum(conv_out, self.graph_axis)
 
         data[K.NODE_FEATURES] = self_connection + conv_out
@@ -178,6 +200,7 @@ class PointConvWithActivation(nn.Module):
     activation_gates: Optional[Tuple[Tuple[str, str], ...]] = None
     normalization: Optional[str] = None
     graph_axis: Optional[str] = None
+    graph_shard_mode: str = "edge"
 
     def _act_info(self) -> ActivationInfo:
         d = irreps_dict(self.irreps_in)
@@ -212,13 +235,19 @@ class PointConvWithActivation(nn.Module):
             fc_hidden_size=self.fc_hidden_size,
             avg_num_neighbors=self.avg_num_neighbors,
             graph_axis=self.graph_axis,
+            graph_shard_mode=self.graph_shard_mode,
             name="conv",
         )(data)
         x = info.make()(data[K.NODE_FEATURES])
 
         mask = data.get(K.NODE_MASK)
+        norm_axis = (
+            self.graph_axis
+            if self.graph_axis is not None and self.graph_shard_mode == "node"
+            else None
+        )
         if self.normalization == "batch":
-            x = IrrepsBatchNorm(irreps=info.irreps_out, name="norm")(
+            x = IrrepsBatchNorm(irreps=info.irreps_out, axis=norm_axis, name="norm")(
                 x, mask=mask, use_running_average=use_running_average
             )
         elif self.normalization == "instance":

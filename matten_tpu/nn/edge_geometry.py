@@ -36,13 +36,18 @@ def with_edge_vectors(data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     data = dict(data)
     pos = data[K.POSITIONS]
     src, dst = data[K.EDGE_INDEX]
-    vec = pos[dst] - pos[src]
+    # node-sharded graph parallelism: src ids are global and index the
+    # halo-gathered positions; dst ids are local (see parallel/, keys.py)
+    pos_src = data.get("pos_full", pos)
+    vec = pos[dst] - pos_src[src]
     if K.CELL in data:
         cell = data[K.CELL].reshape(-1, 3, 3)
         shift = data[K.EDGE_CELL_SHIFT]
         batch = data.get(K.BATCH)
         if cell.shape[0] > 1:
-            edge_cell = cell[batch[src]]
+            # edges stay within one graph, so batch[dst] == batch[src]; use
+            # the locally indexed side
+            edge_cell = cell[batch[dst]]
             vec = vec + jnp.einsum("ei,eij->ej", shift, edge_cell)
         else:
             vec = vec + jnp.einsum("ei,ij->ej", shift, cell[0])
@@ -50,6 +55,24 @@ def with_edge_vectors(data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         vec = vec * data[K.EDGE_MASK][:, None].astype(vec.dtype)
     data[K.EDGE_VECTORS] = vec
     data[K.EDGE_LENGTH] = jnp.linalg.norm(vec, axis=-1)
+    return data
+
+
+def _maybe_gather_positions(data, axis, initializing: bool):
+    """Halo-gather positions across the node-sharding axis (idempotent).
+
+    Node-sharded models: edge source ids are global and need the full
+    position array for edge-vector computation.
+    """
+    if axis is None or K.POS_FULL in data or K.EDGE_VECTORS in data:
+        return data
+    import jax
+
+    data = dict(data)
+    if initializing:
+        data[K.POS_FULL] = data[K.POSITIONS]
+    else:
+        data[K.POS_FULL] = jax.lax.all_gather(data[K.POSITIONS], axis, tiled=True)
     return data
 
 
@@ -63,6 +86,8 @@ class SphericalHarmonicEdgeAttrs(nn.Module):
     irreps_in: IrrepsDictT
     irreps_edge_sh: Irreps  # e.g. Irreps("0e+1o+2e+3o+4e")
     out_field: str = K.EDGE_ATTRS
+    # node-sharding axis: positions are halo-gathered before edge vectors
+    gather_axis: str = None
 
     @property
     def irreps_out(self) -> IrrepsDictT:
@@ -70,6 +95,7 @@ class SphericalHarmonicEdgeAttrs(nn.Module):
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        data = _maybe_gather_positions(data, self.gather_axis, self.is_initializing())
         data = with_edge_vectors(data)
         vec = data[K.EDGE_VECTORS]
         sh = spherical_harmonics(

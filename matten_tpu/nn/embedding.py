@@ -134,6 +134,7 @@ class EdgeLengthEmbedding(nn.Module):
     basis: str = "bessel"
     cutoff: bool = True
     out_field: str = K.EDGE_EMBEDDING
+    gather_axis: str = None  # node-sharding axis (see edge_geometry)
 
     @property
     def irreps_out(self) -> IrrepsDictT:
@@ -141,6 +142,9 @@ class EdgeLengthEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from matten_tpu.nn.edge_geometry import _maybe_gather_positions
+
+        data = _maybe_gather_positions(data, self.gather_axis, self.is_initializing())
         data = with_edge_vectors(data)
         emb = soft_one_hot_linspace(
             data[K.EDGE_LENGTH],

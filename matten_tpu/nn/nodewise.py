@@ -55,6 +55,9 @@ class NodewiseReduce(nn.Module):
     field: str = K.NODE_FEATURES
     out_field: Optional[str] = None
     reduce: str = "sum"  # "sum" | "mean"
+    # shard_map axis over which nodes are sharded: per-graph partial sums
+    # are combined across it (node-sharded graph parallelism)
+    axis: Optional[str] = None
 
     @property
     def _out_field(self) -> str:
@@ -71,17 +74,27 @@ class NodewiseReduce(nn.Module):
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        import jax
+
         data = dict(data)
         x = data[self.field]
         batch = data[K.BATCH]
         num_graphs = data[K.CELL].reshape(-1, 3, 3).shape[0]
         mask = data.get(K.NODE_MASK)
+        w = (
+            mask.astype(x.dtype)
+            if mask is not None
+            else jnp.ones(x.shape[0], dtype=x.dtype)
+        )
+        num = scatter_sum(x * w[:, None], batch, num_graphs)
+        den = scatter_sum(w, batch, num_graphs)
+        if self.axis is not None and not self.is_initializing():
+            num = jax.lax.psum(num, self.axis)
+            den = jax.lax.psum(den, self.axis)
         if self.reduce == "sum":
-            if mask is not None:
-                x = x * mask[:, None].astype(x.dtype)
-            out = scatter_sum(x, batch, num_graphs)
+            out = num
         elif self.reduce == "mean":
-            out = scatter_mean(x, batch, num_graphs, weights=mask)
+            out = num / jnp.maximum(den, 1.0)[:, None]
         else:
             raise ValueError(f"unsupported reduce {self.reduce!r}")
         data[self._out_field] = out

@@ -31,6 +31,18 @@ class IrrepsBatchNorm(nn.Module):
     eps: float = 1e-5
     momentum: float = 0.1
     affine: bool = True
+    # shard_map axis over which nodes are sharded: statistics are reduced
+    # across it (cross-replica batch-norm sync; not needed for edge-shard
+    # or pure data parallelism where per-shard stats mirror torch DDP)
+    axis: Optional[str] = None
+
+    def _reduce(self, num, den):
+        if self.axis is not None and not self.is_initializing():
+            import jax
+
+            num = jax.lax.psum(num, self.axis)
+            den = jax.lax.psum(den, self.axis)
+        return num / jnp.maximum(den, 1.0)
 
     @nn.compact
     def __call__(
@@ -55,10 +67,9 @@ class IrrepsBatchNorm(nn.Module):
 
         if mask is not None:
             m = mask.astype(x.dtype)
-            denom = jnp.maximum(m.sum(), 1.0)
         else:
             m = jnp.ones(x.shape[0], dtype=x.dtype)
-            denom = jnp.asarray(float(x.shape[0]), dtype=x.dtype)
+        count = m.sum()
 
         new_means = []
         new_vars = []
@@ -74,7 +85,7 @@ class IrrepsBatchNorm(nn.Module):
                 if use_running_average:
                     fmean = running_mean.value[i_mean : i_mean + mul]
                 else:
-                    fmean = (blk[..., 0] * m[:, None]).sum(0) / denom
+                    fmean = self._reduce((blk[..., 0] * m[:, None]).sum(0), count)
                     new_means.append(fmean)
                 blk = blk - fmean.astype(x.dtype)[:, None]
             if use_running_average:
@@ -82,7 +93,7 @@ class IrrepsBatchNorm(nn.Module):
             else:
                 # component normalization: mean square per channel over
                 # (real) nodes and m-components
-                fnorm = ((blk**2).mean(-1) * m[:, None]).sum(0) / denom
+                fnorm = self._reduce(((blk**2).mean(-1) * m[:, None]).sum(0), count)
                 new_vars.append(fnorm)
             factor = 1.0 / jnp.sqrt(fnorm.astype(x.dtype) + self.eps)
             if self.affine:

@@ -104,6 +104,7 @@ class Trainer:
         mesh=None,
         data_axis: str = "data",
         graph_axis: str = "graph",
+        graph_shard_mode: str = "edge",  # "edge" | "node" (see nn.conv)
         metrics_logger=None,  # object with .log(dict, step=) (e.g. WandbLogger)
     ):
         self.model = model
@@ -112,6 +113,7 @@ class Trainer:
         self.mesh = mesh
         self.data_axis = data_axis
         self.graph_axis = graph_axis
+        self.graph_shard_mode = graph_shard_mode
         self.metrics_logger = metrics_logger
         self.tx = optax.inject_hyperparams(self._make_tx)(
             learning_rate=config.lr, weight_decay=config.weight_decay
@@ -294,11 +296,24 @@ class Trainer:
 
     # ---- combined data x edge-partition SPMD (shard_map, vma-checked) ----
     EDGE_FIELDS = (K.EDGE_INDEX, K.EDGE_CELL_SHIFT, K.EDGE_MASK)
+    NODE_FIELDS = (
+        K.POSITIONS,
+        K.ATOMIC_NUMBERS,
+        K.SPECIES_INDEX,
+        K.NUM_NEIGH,
+        K.BATCH,
+        K.NODE_MASK,
+        K.ATOM_FEATS,
+    )
+
+    def _graph_sharded_fields(self):
+        if self.graph_shard_mode == "node":
+            return self.EDGE_FIELDS + self.NODE_FIELDS
+        return self.EDGE_FIELDS
 
     def _squeeze_mp(self, data: Dict, targets: Dict):
-        d = {
-            k: (v[0, 0] if k in self.EDGE_FIELDS else v[0]) for k, v in data.items()
-        }
+        sharded = self._graph_sharded_fields()
+        d = {k: (v[0, 0] if k in sharded else v[0]) for k, v in data.items()}
         t = {k: v[0] for k, v in targets.items()}
         return d, t
 
@@ -348,9 +363,9 @@ class Trainer:
             key = (kind, tuple(sorted(data)), tuple(sorted(targets)))
             if key not in self._step_cache:
                 dax, gax = self.data_axis, self.graph_axis
+                sharded = self._graph_sharded_fields()
                 dspec = {
-                    k: (P(dax, gax) if k in self.EDGE_FIELDS else P(dax))
-                    for k in data
+                    k: (P(dax, gax) if k in sharded else P(dax)) for k in data
                 }
                 tspec = {k: P(dax) for k in targets}
                 rep = P()
@@ -434,7 +449,9 @@ class Trainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             train_losses = []
+            epoch_edges = 0
             for batch in train_loader:
+                epoch_edges += int(np.asarray(batch[0][K.EDGE_MASK]).sum())
                 data, targets = self._to_device(batch)
                 state, loss, _ = self._train_step(state, data, targets)
                 train_losses.append(float(loss))
@@ -468,6 +485,7 @@ class Trainer:
                 "lr_scale": self.scheduler.scale,
                 "epoch_time": epoch_time,
                 "cumulative_time": time.time() - t_start,
+                "train/edges_per_s": epoch_edges / max(epoch_time, 1e-9),
             }
             rec.update({f"val/{k}": v for k, v in val_metrics.items() if k.startswith("mae")})
             self.history.append(rec)

@@ -8,6 +8,11 @@ import argparse
 import logging
 from pathlib import Path
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import numpy as np
 import yaml
 
@@ -30,8 +35,16 @@ def get_args():
 
 
 def main(config: dict):
+    import os
+
+    import jax
+
+    from matten_tpu.kernels.fused_tp import set_tp_impl
+
     seed = config.get("seed_everything", 35)
     np.random.seed(seed)
+    impl = os.environ.get("MATTEN_TP_IMPL")
+    set_tp_impl(impl or ("pallas" if jax.default_backend() == "tpu" else "xla"))
 
     dm = TensorDataModule(**config["data"], seed=seed)
     dm.setup()

@@ -10,7 +10,13 @@ then test with the best checkpoint state.
 
 import argparse
 import logging
+import os
 from pathlib import Path
+
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
 
 import numpy as np
 import yaml
@@ -55,6 +61,14 @@ def build_trainer_config(config: dict) -> TrainerConfig:
 def main(config: dict):
     seed = config.get("seed_everything", 35)
     np.random.seed(seed)
+
+    # kernel tier: MATTEN_TP_IMPL=pallas|xla (default: pallas on TPU)
+    import jax
+
+    from matten_tpu.kernels.fused_tp import set_tp_impl
+
+    impl = os.environ.get("MATTEN_TP_IMPL")
+    set_tp_impl(impl or ("pallas" if jax.default_backend() == "tpu" else "xla"))
 
     dm = TensorDataModule(**config["data"], seed=seed)
     dm.setup()

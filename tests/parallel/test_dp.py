@@ -192,3 +192,101 @@ def test_edge_partition_matches_single_device(setup):
         float(ms_ep["elastic_tensor_full"][0]),
         rtol=1e-5,
     )
+
+
+def test_node_shard_matches_single_device(setup):
+    """Node-sharded graph parallelism (halo all_gather) == single device."""
+    graphs, smap, _ = setup
+    task = CanonicalRegressionTask(name="elastic_tensor_full")
+    ds_info = {
+        "allowed_species": [8, 14],
+        "average_num_neighbors": 20.0,
+        "atom_feats_size": None,
+    }
+
+    model_single = create_scalar_tensor_model(HPARAMS, ds_info)
+    hp_ns = dict(HPARAMS, graph_parallel_axis="graph", graph_parallel_mode="node")
+    model_ns = create_scalar_tensor_model(hp_ns, ds_info)
+
+    t_single = Trainer(model_single, [task], TrainerConfig(max_epochs=1, lr=0.01))
+    loader_s = BatchLoader(
+        graphs, batch_size=8, species_map=smap, node_multiple=32, edge_multiple=512
+    )
+    batch_s = next(iter(loader_s))
+    state_s = t_single.init_state(batch_s, rng_seed=0)
+
+    mesh = make_mesh(n_data=2, n_graph=4)
+    t_ns = Trainer(
+        model_ns, [task], TrainerConfig(max_epochs=1, lr=0.01),
+        mesh=mesh, graph_shard_mode="node",
+    )
+    loader_ns = BatchLoader(
+        graphs, batch_size=8, species_map=smap, num_shards=2, num_edge_shards=4,
+        node_shard=True, node_multiple=32, edge_multiple=512,
+    )
+    batch_ns = next(iter(loader_ns))
+    # node arrays sharded: [Sd, Sg, c, ...]
+    assert batch_ns[0]["pos"].shape[:2] == (2, 4)
+    state_ns = t_ns.init_state(batch_s, rng_seed=0)
+
+    data_s, targets_s = t_single._to_device(batch_s)
+    s1, loss_s, ms_s = t_single._train_step(state_s, data_s, targets_s)
+
+    data_ns = {k: jnp.asarray(v) for k, v in batch_ns[0].items()}
+    targets_ns = {k: jnp.asarray(v) for k, v in batch_ns[1].items()}
+    s2, loss_ns, ms_ns = t_ns._train_step(state_ns, data_ns, targets_ns)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ns), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        float(ms_s["elastic_tensor_full"][0]),
+        float(ms_ns["elastic_tensor_full"][0]),
+        rtol=1e-5,
+    )
+
+
+def test_node_shard_with_batchnorm_matches_single_device(setup):
+    """Cross-shard-synced batch norm keeps node-sharding exact."""
+    graphs, smap, _ = setup
+    hp = dict(HPARAMS, normalization="batch")
+    task = CanonicalRegressionTask(name="elastic_tensor_full")
+    ds_info = {
+        "allowed_species": [8, 14],
+        "average_num_neighbors": 20.0,
+        "atom_feats_size": None,
+    }
+    model_single = create_scalar_tensor_model(hp, ds_info)
+    hp_ns = dict(hp, graph_parallel_axis="graph", graph_parallel_mode="node")
+    model_ns = create_scalar_tensor_model(hp_ns, ds_info)
+
+    loader_s = BatchLoader(
+        graphs, batch_size=8, species_map=smap, node_multiple=32, edge_multiple=512
+    )
+    batch_s = next(iter(loader_s))
+    t_single = Trainer(model_single, [task], TrainerConfig(max_epochs=1, lr=0.01))
+    state_s = t_single.init_state(batch_s, rng_seed=0)
+
+    mesh = make_mesh(n_data=1, n_graph=8)
+    t_ns = Trainer(
+        model_ns, [task], TrainerConfig(max_epochs=1, lr=0.01),
+        mesh=mesh, graph_shard_mode="node",
+    )
+    loader_ns = BatchLoader(
+        graphs, batch_size=8, species_map=smap, num_shards=1, num_edge_shards=8,
+        node_shard=True, node_multiple=32, edge_multiple=512,
+    )
+    batch_ns = next(iter(loader_ns))
+    state_ns = t_ns.init_state(batch_s, rng_seed=0)
+
+    data_s, targets_s = t_single._to_device(batch_s)
+    s1, loss_s, _ = t_single._train_step(state_s, data_s, targets_s)
+    data_ns = {k: jnp.asarray(v) for k, v in batch_ns[0].items()}
+    targets_ns = {k: jnp.asarray(v) for k, v in batch_ns[1].items()}
+    s2, loss_ns, _ = t_ns._train_step(state_ns, data_ns, targets_ns)
+    np.testing.assert_allclose(float(loss_s), float(loss_ns), rtol=1e-5)
+    # synced running statistics match the single-device ones
+    for a, b in zip(
+        jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
