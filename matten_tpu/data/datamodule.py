@@ -89,7 +89,7 @@ class BatchLoader:
         "pos", "atomic_numbers", "species_index", "num_neigh", "batch", "node_mask",
     )
 
-    def _shard_nodes_and_edges(self, data: Dict) -> Dict:
+    def _shard_nodes_and_edges(self, data: Dict, targets: Optional[Dict] = None):
         """Node-sharded layout: nodes in Sg contiguous chunks; each edge
         lives with the shard owning its destination (src ids stay global,
         dst ids become local). Dummy fill edges get a huge cell shift so
@@ -121,7 +121,13 @@ class BatchLoader:
             if key in data:
                 v = data[key]
                 data[key] = v.reshape((sg, c) + v.shape[1:])
-        return data
+        if targets is None:
+            return data
+        targets = dict(targets)
+        for key, v in targets.items():
+            if v.shape[0] == n:  # per-node targets shard with their nodes
+                targets[key] = v.reshape((sg, c) + v.shape[1:])
+        return data, targets
 
     def _shard_edges(self, data: Dict) -> Dict:
         """Split the dst-sorted edge arrays into contiguous chunks [Sg, ...]."""
@@ -156,11 +162,10 @@ class BatchLoader:
                     species_map=self.species_map,
                 )
                 if self.num_edge_shards > 1:
-                    d = (
-                        self._shard_nodes_and_edges(d)
-                        if self.node_shard
-                        else self._shard_edges(d)
-                    )
+                    if self.node_shard:
+                        d, t = self._shard_nodes_and_edges(d, t)
+                    else:
+                        d = self._shard_edges(d)
                 shards.append((d, t))
             # ragged tail shards reuse graphs[:1] but zero the masks so they
             # contribute nothing

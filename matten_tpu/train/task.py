@@ -34,19 +34,31 @@ class CanonicalRegressionTask(Task):
     """MSE loss + MAE metric (reference model/task.py:226-254)."""
 
 
-def masked_mse(pred, target, mask, sample_weight=None):
-    """Mean squared error over rows where mask is True.
-
-    pred/target: [R, D]; mask: [R] bool; sample_weight: [R] or None.
-    Mean over real rows x D elements (matches torch mse_loss reduction over
-    the unmasked subset).
-    """
+def masked_mse_sums(pred, target, mask, sample_weight=None):
+    """(sum of squared errors, element count) over rows where mask is True."""
     m = mask.astype(pred.dtype)
     if sample_weight is not None:
         m = m * sample_weight.astype(pred.dtype)
     se = ((pred - target) ** 2).sum(-1) * m
-    denom = jnp.maximum(m.sum() * pred.shape[-1], 1.0)
-    return se.sum() / denom
+    return se.sum(), m.sum() * pred.shape[-1]
+
+
+def masked_mse(pred, target, mask, sample_weight=None, psum_axis=None):
+    """Mean squared error over rows where mask is True.
+
+    pred/target: [R, D]; mask: [R] bool; sample_weight: [R] or None.
+    Mean over real rows x D elements (matches torch mse_loss reduction over
+    the unmasked subset). With `psum_axis`, numerator and denominator are
+    reduced across the shard axis first (rows sharded, e.g. per-atom
+    targets under node-sharded graph parallelism).
+    """
+    num, den = masked_mse_sums(pred, target, mask, sample_weight)
+    if psum_axis is not None:
+        import jax
+
+        num = jax.lax.psum(num, psum_axis)
+        den = jax.lax.psum(den, psum_axis)
+    return num / jnp.maximum(den, 1.0)
 
 
 def masked_abs_err_sum(pred, target, mask):

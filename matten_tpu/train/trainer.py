@@ -194,25 +194,57 @@ class Trainer:
             return mask
         return data[K.GRAPH_MASK]
 
-    def _compute_loss(self, preds: Dict, data: Dict, targets: Dict):
+    def _compute_loss(
+        self, preds: Dict, data: Dict, targets: Dict, global_mean: bool = False
+    ):
+        """Weighted multi-task masked MSE.
+
+        global_mean=True (SPMD step): each task's (sum, count) is psum'd
+        over the data axis — and the graph axis for node-sharded per-atom
+        rows — so the loss is the exact global mean regardless of per-shard
+        row counts.
+        """
         loss = 0.0
+        node_axis = self._node_axis()
         for task in self.tasks:
             mask = self._task_mask(task, data, targets)
             sw = None
             if not task.per_atom and "target_weight" in data:
                 sw = data["target_weight"][:, 0]
+            axes = []
+            if global_mean:
+                axes.append(self.data_axis)
+                if task.per_atom and node_axis is not None:
+                    axes.append(node_axis)
             loss = loss + task.loss_weight * masked_mse(
-                preds[task.name], targets[task.name], mask, sw
+                preds[task.name],
+                targets[task.name],
+                mask,
+                sw,
+                psum_axis=tuple(axes) if axes else None,
             )
         return loss
 
+    def _node_axis(self):
+        if (
+            self.mesh is not None
+            and self.graph_shard_mode == "node"
+            and dict(self.mesh.shape).get(self.graph_axis, 1) > 1
+        ):
+            return self.graph_axis
+        return None
+
     def _metric_sums(self, preds: Dict, data: Dict, targets: Dict):
         out = {}
+        node_axis = self._node_axis()
         for task in self.tasks:
             mask = self._task_mask(task, data, targets)
             p = task.transform_for_metric(preds[task.name])
             t = task.transform_for_metric(targets[task.name])
             s, c = masked_abs_err_sum(p, t, mask)
+            if task.per_atom and node_axis is not None:
+                s = jax.lax.psum(s, node_axis)
+                c = jax.lax.psum(c, node_axis)
             out[task.name] = (s, c)
         return out
 
@@ -311,10 +343,19 @@ class Trainer:
             return self.EDGE_FIELDS + self.NODE_FIELDS
         return self.EDGE_FIELDS
 
+    def _node_sharded_target_keys(self):
+        if self.graph_shard_mode != "node":
+            return ()
+        keys = [t.name for t in self.tasks if t.per_atom]
+        if keys:
+            keys.append("atom_selector")
+        return tuple(keys)
+
     def _squeeze_mp(self, data: Dict, targets: Dict):
         sharded = self._graph_sharded_fields()
+        tsharded = self._node_sharded_target_keys()
         d = {k: (v[0, 0] if k in sharded else v[0]) for k, v in data.items()}
-        t = {k: v[0] for k, v in targets.items()}
+        t = {k: (v[0, 0] if k in tsharded else v[0]) for k, v in targets.items()}
         return d, t
 
     def _mp_train_step_impl(self, state: TrainState, data: Dict, targets: Dict):
@@ -332,10 +373,10 @@ class Trainer:
                 out = self.model.apply(variables, data, use_running_average=False)
                 updates = {}
             preds = out if isinstance(out, dict) else {self.tasks[0].name: out}
-            loss = self._compute_loss(preds, data, targets)
-            # differentiate THROUGH the mean over the data axis so the vma
-            # machinery emits the correct (replicated) parameter gradients
-            loss = jax.lax.pmean(loss, dax)
+            # the global (sum, count) mean is differentiated THROUGH its
+            # cross-shard psums so the vma machinery emits the correct
+            # (replicated) parameter gradients
+            loss = self._compute_loss(preds, data, targets, global_mean=True)
             return loss, (updates, preds)
 
         (loss, (updates, preds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -351,9 +392,20 @@ class Trainer:
 
     def _mp_eval_step_impl(self, state: TrainState, data: Dict, targets: Dict):
         data, targets = self._squeeze_mp(data, targets)
-        loss, ms = self._eval_core(state, data, targets)
-        loss = jax.lax.pmean(loss, self.data_axis)
-        ms = jax.tree.map(lambda x: jax.lax.psum(x, self.data_axis), ms)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        preds_out = self.model.apply(variables, data, use_running_average=True)
+        preds = (
+            {self.tasks[0].name: preds_out}
+            if not isinstance(preds_out, dict)
+            else preds_out
+        )
+        loss = self._compute_loss(preds, data, targets, global_mean=True)
+        ms = jax.tree.map(
+            lambda x: jax.lax.psum(x, self.data_axis),
+            self._metric_sums(preds, data, targets),
+        )
         return loss, ms
 
     def _spmd_dispatch(self, kind: str):
@@ -364,10 +416,13 @@ class Trainer:
             if key not in self._step_cache:
                 dax, gax = self.data_axis, self.graph_axis
                 sharded = self._graph_sharded_fields()
+                tsharded = self._node_sharded_target_keys()
                 dspec = {
                     k: (P(dax, gax) if k in sharded else P(dax)) for k in data
                 }
-                tspec = {k: P(dax) for k in targets}
+                tspec = {
+                    k: (P(dax, gax) if k in tsharded else P(dax)) for k in targets
+                }
                 rep = P()
                 if kind == "train":
                     fn = jax.jit(

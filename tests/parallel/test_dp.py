@@ -290,3 +290,65 @@ def test_node_shard_with_batchnorm_matches_single_device(setup):
         jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_node_shard_per_atom_matches_single_device(setup):
+    """Per-atom (NMR-style) targets under node-sharded parallelism."""
+    from matten_tpu.models import create_atomic_tensor_model
+
+    rng = np.random.default_rng(7)
+    graphs = _graphs(rng, 8)
+    for g in graphs:
+        del g.y["elastic_tensor_full"]
+        sel = rng.integers(0, 2, g.num_nodes).astype(bool)
+        sel[0] = True
+        dense = np.zeros((g.num_nodes, 6))
+        dense[sel] = rng.normal(size=(int(sel.sum()), 6))
+        g.y["nmr_tensor"] = dense
+        g.y["atom_selector"] = sel
+    smap = atomic_number_map((8, 14))
+    ds_info = {
+        "allowed_species": [8, 14],
+        "average_num_neighbors": 20.0,
+        "atom_feats_size": None,
+    }
+    hp = dict(HPARAMS, output_formula="ij=ji")
+    hp.pop("conv_to_output_hidden_irreps_out")
+    task = CanonicalRegressionTask(name="nmr_tensor", per_atom=True)
+
+    m_single = create_atomic_tensor_model(hp, ds_info)
+    hp_ns = dict(hp, graph_parallel_axis="graph", graph_parallel_mode="node")
+    m_ns = create_atomic_tensor_model(hp_ns, ds_info)
+
+    loader_s = BatchLoader(
+        graphs, batch_size=8, species_map=smap, node_multiple=32, edge_multiple=512
+    )
+    batch_s = next(iter(loader_s))
+    t_single = Trainer(m_single, [task], TrainerConfig(max_epochs=1, lr=0.01))
+    state_s = t_single.init_state(batch_s, rng_seed=0)
+
+    mesh = make_mesh(n_data=2, n_graph=4)
+    t_ns = Trainer(
+        m_ns, [task], TrainerConfig(max_epochs=1, lr=0.01),
+        mesh=mesh, graph_shard_mode="node",
+    )
+    loader_ns = BatchLoader(
+        graphs, batch_size=8, species_map=smap, num_shards=2, num_edge_shards=4,
+        node_shard=True, node_multiple=32, edge_multiple=512,
+    )
+    batch_ns = next(iter(loader_ns))
+    assert batch_ns[1]["nmr_tensor"].shape[:2] == (2, 4)
+    state_ns = t_ns.init_state(batch_s, rng_seed=0)
+
+    data_s, targets_s = t_single._to_device(batch_s)
+    s1, loss_s, ms_s = t_single._train_step(state_s, data_s, targets_s)
+    data_ns = {k: jnp.asarray(v) for k, v in batch_ns[0].items()}
+    targets_ns = {k: jnp.asarray(v) for k, v in batch_ns[1].items()}
+    s2, loss_ns, ms_ns = t_ns._train_step(state_ns, data_ns, targets_ns)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ns), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        float(ms_s["nmr_tensor"][0]), float(ms_ns["nmr_tensor"][0]), rtol=1e-5
+    )
