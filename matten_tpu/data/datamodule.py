@@ -44,6 +44,7 @@ class BatchLoader:
         num_shards: int = 1,
         num_edge_shards: int = 1,
         node_shard: bool = False,
+        ring: bool = False,
     ):
         """num_shards > 1 yields stacked per-shard batches [S, ...] for SPMD
         data parallelism (each shard is an independently padded sub-batch
@@ -64,6 +65,7 @@ class BatchLoader:
         self.num_shards = num_shards
         self.num_edge_shards = num_edge_shards
         self.node_shard = node_shard
+        self.ring = ring
         self._rng = np.random.default_rng(seed)
         # one global bucket per loader: max over a worst-case (sub-)batch, so
         # every batch compiles to the same program
@@ -93,7 +95,11 @@ class BatchLoader:
         """Node-sharded layout: nodes in Sg contiguous chunks; each edge
         lives with the shard owning its destination (src ids stay global,
         dst ids become local). Dummy fill edges get a huge cell shift so
-        their radial window (and hence all message weights) is zero."""
+        their radial window (and hence all message weights) is zero.
+
+        ring=True additionally groups each shard's edges by SOURCE owner
+        into Sg equal slots (group-major layout), the layout the
+        ring-overlapped halo exchange consumes (nn/conv.py "node_ring")."""
         sg = self.num_edge_shards
         n = data["pos"].shape[0]
         assert n % sg == 0, f"padded nodes {n} not divisible by {sg}"
@@ -102,18 +108,36 @@ class BatchLoader:
         src, dst = data["edge_index"]
         real = data["edge_mask"]
         owner = dst // c
-        cap = 2 * (data["edge_index"].shape[1] // sg)
+        if self.ring:
+            src_owner = src // c
+            # slot capacity must cover the worst (dst_owner, src_owner)
+            # pair; graphs are node-contiguous so diagonal pairs are dense
+            cap2 = max(1, 2 * (data["edge_index"].shape[1] // sg))
+            cap = sg * cap2
+        else:
+            cap = 2 * (data["edge_index"].shape[1] // sg)
         ei = np.zeros((sg, 2, cap), dtype=np.int32)
         shift = np.full((sg, cap, 3), 1e6, dtype=data["edge_cell_shift"].dtype)
         mask = np.zeros((sg, cap), dtype=bool)
         for s in range(sg):
-            sel = real & (owner == s)
-            k = int(sel.sum())
-            assert k <= cap, f"edge shard {s} overflow ({k} > {cap})"
-            ei[s, 0, :k] = src[sel]
-            ei[s, 1, :k] = dst[sel] - s * c
-            shift[s, :k] = data["edge_cell_shift"][sel]
-            mask[s, :k] = True
+            if self.ring:
+                for so in range(sg):
+                    sel = real & (owner == s) & (src_owner == so)
+                    k = int(sel.sum())
+                    assert k <= cap2, f"ring slot ({s},{so}) overflow ({k} > {cap2})"
+                    o = so * cap2
+                    ei[s, 0, o : o + k] = src[sel]
+                    ei[s, 1, o : o + k] = dst[sel] - s * c
+                    shift[s, o : o + k] = data["edge_cell_shift"][sel]
+                    mask[s, o : o + k] = True
+            else:
+                sel = real & (owner == s)
+                k = int(sel.sum())
+                assert k <= cap, f"edge shard {s} overflow ({k} > {cap})"
+                ei[s, 0, :k] = src[sel]
+                ei[s, 1, :k] = dst[sel] - s * c
+                shift[s, :k] = data["edge_cell_shift"][sel]
+                mask[s, :k] = True
         data["edge_index"] = ei
         data["edge_cell_shift"] = shift
         data["edge_mask"] = mask

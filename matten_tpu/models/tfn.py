@@ -55,7 +55,9 @@ def create_tfn_backbone(
 
     graph_axis = hparams.get("graph_parallel_axis", None)
     graph_shard_mode = hparams.get("graph_parallel_mode", "edge")
-    gather_axis = graph_axis if graph_shard_mode == "node" else None
+    gather_axis = (
+        graph_axis if graph_shard_mode in ("node", "node_ring") else None
+    )
 
     m = SpeciesEmbedding(
         irreps_in=irreps,
@@ -136,7 +138,7 @@ def create_tfn_backbone(
             field=OUT_FIELD,
             out_field=OUT_FIELD,
             reduce=pooling,
-            axis=graph_axis if graph_shard_mode == "node" else None,
+            axis=graph_axis if graph_shard_mode in ("node", "node_ring") else None,
             name="output_pooling",
         )
         layers.append(m)

@@ -140,29 +140,72 @@ class PointConv(nn.Module):
         )
         edge_weights = ScalarMLP(hs=tuple(hs), act="silu", name="radial_mlp")(edge_emb)
 
-        node_shard = (
-            self.graph_axis is not None
-            and self.graph_shard_mode == "node"
-            and not self.is_initializing()
-        )
-        if node_shard:
-            # halo exchange: gather every shard's (post-lin1) node features
-            # over ICI; src ids are global, aggregation is dst-local
-            feats_src = jax.lax.all_gather(feats, self.graph_axis, tiled=True)
-        else:
-            feats_src = feats
-
+        initializing = self.is_initializing()
         from matten_tpu.kernels.fused_tp import get_tp_impl
 
-        if get_tp_impl() == "pallas" and self.graph_axis is None:
-            # fused Pallas path: per-edge TP + aggregation without
-            # materializing messages in HBM (kernels/fused_conv.py)
-            from matten_tpu.kernels.fused_conv import fused_uvu_conv
-
-            agg = fused_uvu_conv(uvu_plan, feats, edge_attrs, edge_weights, src, dst)
+        if (
+            self.graph_axis is not None
+            and self.graph_shard_mode == "node_ring"
+            and not initializing
+        ):
+            # ring-overlapped halo exchange: node-feature chunks circulate
+            # around the graph axis with ppermute while each shard
+            # aggregates the edge group whose sources are in the chunk it
+            # currently holds — the exchange of chunk k+1 overlaps the
+            # aggregation of chunk k (async collectives), so ICI time hides
+            # behind on-chip compute (the SURVEY §7.6 north-star pattern).
+            sg = jax.lax.axis_size(self.graph_axis)
+            me = jax.lax.axis_index(self.graph_axis)
+            e_loc = src.shape[0]
+            cap2 = e_loc // sg
+            c = num_nodes  # nodes per shard
+            src_g = src.reshape(sg, cap2)
+            dst_g = dst.reshape(sg, cap2)
+            sh_g = edge_attrs.reshape(sg, cap2, -1)
+            w_g = edge_weights.reshape(sg, cap2, -1)
+            perm = [(i, (i + 1) % sg) for i in range(sg)]
+            chunk = feats
+            agg = None
+            for k in range(sg):
+                g = (me - k) % sg
+                take = lambda a: jax.lax.dynamic_index_in_dim(
+                    a, g, axis=0, keepdims=False
+                )
+                nxt = (
+                    jax.lax.ppermute(chunk, self.graph_axis, perm)
+                    if k < sg - 1
+                    else None
+                )
+                src_local = take(src_g) - g * c
+                msg = uvu_plan.apply(chunk[src_local], take(sh_g), take(w_g))
+                part = scatter_sum(msg, take(dst_g), num_nodes)
+                agg = part if agg is None else agg + part
+                if nxt is not None:
+                    chunk = nxt
         else:
-            msg = uvu_plan.apply(feats_src[src], edge_attrs, edge_weights)
-            agg = scatter_sum(msg, dst, num_nodes)
+            node_shard = (
+                self.graph_axis is not None
+                and self.graph_shard_mode == "node"
+                and not initializing
+            )
+            if node_shard:
+                # simple halo: gather every shard's (post-lin1) features
+                # over ICI; src ids are global, aggregation is dst-local
+                feats_src = jax.lax.all_gather(feats, self.graph_axis, tiled=True)
+            else:
+                feats_src = feats
+
+            if get_tp_impl() == "pallas" and self.graph_axis is None:
+                # fused Pallas path: per-edge TP + aggregation without
+                # materializing messages in HBM (kernels/fused_conv.py)
+                from matten_tpu.kernels.fused_conv import fused_uvu_conv
+
+                agg = fused_uvu_conv(
+                    uvu_plan, feats, edge_attrs, edge_weights, src, dst
+                )
+            else:
+                msg = uvu_plan.apply(feats_src[src], edge_attrs, edge_weights)
+                agg = scatter_sum(msg, dst, num_nodes)
 
         if self.avg_num_neighbors is not None:
             agg = agg / np.sqrt(self.avg_num_neighbors)
@@ -243,7 +286,8 @@ class PointConvWithActivation(nn.Module):
         mask = data.get(K.NODE_MASK)
         norm_axis = (
             self.graph_axis
-            if self.graph_axis is not None and self.graph_shard_mode == "node"
+            if self.graph_axis is not None
+            and self.graph_shard_mode in ("node", "node_ring")
             else None
         )
         if self.normalization == "batch":

@@ -228,7 +228,7 @@ class Trainer:
     def _node_axis(self):
         if (
             self.mesh is not None
-            and self.graph_shard_mode == "node"
+            and self.graph_shard_mode in ("node", "node_ring")
             and dict(self.mesh.shape).get(self.graph_axis, 1) > 1
         ):
             return self.graph_axis
@@ -339,12 +339,12 @@ class Trainer:
     )
 
     def _graph_sharded_fields(self):
-        if self.graph_shard_mode == "node":
+        if self.graph_shard_mode in ("node", "node_ring"):
             return self.EDGE_FIELDS + self.NODE_FIELDS
         return self.EDGE_FIELDS
 
     def _node_sharded_target_keys(self):
-        if self.graph_shard_mode != "node":
+        if self.graph_shard_mode not in ("node", "node_ring"):
             return ()
         keys = [t.name for t in self.tasks if t.per_atom]
         if keys:

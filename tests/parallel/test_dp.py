@@ -352,3 +352,51 @@ def test_node_shard_per_atom_matches_single_device(setup):
     np.testing.assert_allclose(
         float(ms_s["nmr_tensor"][0]), float(ms_ns["nmr_tensor"][0]), rtol=1e-5
     )
+
+
+def test_node_ring_matches_single_device(setup):
+    """Ring-overlapped halo exchange == single device."""
+    graphs, smap, _ = setup
+    task = CanonicalRegressionTask(name="elastic_tensor_full")
+    ds_info = {
+        "allowed_species": [8, 14],
+        "average_num_neighbors": 20.0,
+        "atom_feats_size": None,
+    }
+    model_single = create_scalar_tensor_model(HPARAMS, ds_info)
+    hp_r = dict(HPARAMS, graph_parallel_axis="graph", graph_parallel_mode="node_ring")
+    model_r = create_scalar_tensor_model(hp_r, ds_info)
+
+    loader_s = BatchLoader(
+        graphs, batch_size=8, species_map=smap, node_multiple=32, edge_multiple=512
+    )
+    batch_s = next(iter(loader_s))
+    t_single = Trainer(model_single, [task], TrainerConfig(max_epochs=1, lr=0.01))
+    state_s = t_single.init_state(batch_s, rng_seed=0)
+
+    mesh = make_mesh(n_data=2, n_graph=4)
+    t_r = Trainer(
+        model_r, [task], TrainerConfig(max_epochs=1, lr=0.01),
+        mesh=mesh, graph_shard_mode="node_ring",
+    )
+    loader_r = BatchLoader(
+        graphs, batch_size=8, species_map=smap, num_shards=2, num_edge_shards=4,
+        node_shard=True, ring=True, node_multiple=32, edge_multiple=512,
+    )
+    batch_r = next(iter(loader_r))
+    state_r = t_r.init_state(batch_s, rng_seed=0)
+
+    data_s, targets_s = t_single._to_device(batch_s)
+    s1, loss_s, ms_s = t_single._train_step(state_s, data_s, targets_s)
+    data_r = {k: jnp.asarray(v) for k, v in batch_r[0].items()}
+    targets_r = {k: jnp.asarray(v) for k, v in batch_r[1].items()}
+    s2, loss_r, ms_r = t_r._train_step(state_r, data_r, targets_r)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        float(ms_s["elastic_tensor_full"][0]),
+        float(ms_r["elastic_tensor_full"][0]),
+        rtol=1e-5,
+    )
