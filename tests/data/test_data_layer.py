@@ -186,3 +186,53 @@ class TestRealDatasets:
         np.testing.assert_allclose(
             loaded.target_normalizer.mean, stats.target_normalizer.mean
         )
+
+
+class TestDataModuleCache:
+    def test_reuse_cache_roundtrip(self, tmp_path):
+        import json
+        import pandas as pd
+        from matten_tpu.data.datamodule import TensorDataModule
+
+        # build a tiny dataset file
+        rng = np.random.default_rng(0)
+        rows = []
+        for _ in range(4):
+            s = Structure(
+                np.eye(3) * 4.0 + rng.normal(size=(3, 3)) * 0.1,
+                rng.uniform(0, 1, (3, 3)),
+                rng.choice([8, 14], 3),
+            )
+            rows.append(
+                {
+                    "structure": s.to_dict(),
+                    "elastic_tensor_full": rng.normal(size=(3, 3, 3, 3)).tolist(),
+                }
+            )
+        # symmetrize targets
+        for r in rows:
+            t = np.asarray(r["elastic_tensor_full"])
+            t = (t + t.transpose(1, 0, 2, 3)) / 2
+            t = (t + t.transpose(0, 1, 3, 2)) / 2
+            t = (t + t.transpose(2, 3, 0, 1)) / 2
+            r["elastic_tensor_full"] = t.tolist()
+        pd.DataFrame(rows).to_json(tmp_path / "tiny.json")
+
+        kwargs = dict(
+            trainset_filename="tiny.json",
+            valset_filename="tiny.json",
+            testset_filename="tiny.json",
+            root=str(tmp_path),
+            r_cut=5.0,
+            reuse=True,
+        )
+        dm1 = TensorDataModule(**kwargs)
+        dm1.setup()
+        assert (tmp_path / "processed").exists()
+        dm2 = TensorDataModule(**kwargs)
+        dm2.setup()  # loads from cache
+        g1, g2 = dm1.graphs["train"][0], dm2.graphs["train"][0]
+        np.testing.assert_allclose(g1.pos, g2.pos)
+        np.testing.assert_allclose(
+            g1.y["elastic_tensor_full"], g2.y["elastic_tensor_full"]
+        )
