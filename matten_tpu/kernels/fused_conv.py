@@ -148,7 +148,7 @@ def _build_call(
         # one CG matmul per SH degree: t_all rows cover every path's d1*d3
         ts = {}
         for (a, b), idxs in groups.items():
-            y = shT_ref[a:b, :]  # [d2, B]
+            y = shT_ref[a:b, :].astype(jnp.float32)  # [d2, B]
             r0 = metas[idxs[0]]["c_sl"].start
             r1 = metas[idxs[-1]]["c_sl"].stop
             cg = c_ref[r0:r1, : (b - a)]
@@ -164,7 +164,7 @@ def _build_call(
             tb = m["c_sl"].start - r0
             for u in range(mul):
                 x0 = m["x_start"] + u * pd1
-                xu = xT_ref[x0 : x0 + pd1, :]  # [d1, B]
+                xu = xT_ref[x0 : x0 + pd1, :].astype(jnp.float32)  # [d1, B]
                 acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
                 for m1 in range(1, pd1):
                     acc = acc + (
@@ -173,7 +173,7 @@ def _build_call(
                     )
                 w0 = m["w_start"] + u
                 o0 = m["o_start"] + u * pd3
-                val = acc * wT_ref[w0 : w0 + 1, :]
+                val = acc * wT_ref[w0 : w0 + 1, :].astype(jnp.float32)
                 if accumulate:
                     msg_ref[o0 : o0 + pd3, :] += val
                 else:
@@ -230,7 +230,7 @@ def _build_dw_call(
     def kernel(xT_ref, shT_ref, gT_ref, c_ref, wg_ref):
         ts = {}
         for (a, b), idxs in groups.items():
-            y = shT_ref[a:b, :]
+            y = shT_ref[a:b, :].astype(jnp.float32)
             r0 = metas[idxs[0]]["c_sl"].start
             r1 = metas[idxs[-1]]["c_sl"].stop
             cg = c_ref[r0:r1, : (b - a)]
@@ -241,7 +241,7 @@ def _build_dw_call(
             tb = m["c_sl"].start - r0
             for u in range(mul):
                 x0 = m["x_start"] + u * pd1
-                xu = xT_ref[x0 : x0 + pd1, :]
+                xu = xT_ref[x0 : x0 + pd1, :].astype(jnp.float32)
                 acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
                 for m1 in range(1, pd1):
                     acc = acc + (
@@ -249,7 +249,7 @@ def _build_dw_call(
                         * xu[m1 : m1 + 1, :]
                     )
                 o0 = m["o_start"] + u * pd3
-                gu = gT_ref[o0 : o0 + pd3, :]
+                gu = gT_ref[o0 : o0 + pd3, :].astype(jnp.float32)
                 w0 = m["w_start"] + u
                 wg_ref[w0 : w0 + 1, :] = jnp.sum(acc * gu, axis=0, keepdims=True)
 
@@ -293,10 +293,12 @@ def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
         n_nodes = x_nodes.shape[0]
         e = sh.shape[0]
         blk, e_pad = _prep(sh.shape[0], e)
+        from matten_tpu.kernels.fused_tp import get_kernel_in_dtype
+
+        idt = jnp.dtype(get_kernel_in_dtype())
         xTg = x_nodes.T[:, src]  # [D1, E] lane gather
         xTg, shT, wT = _pad_cols(
-            [xTg.astype(jnp.float32), sh.T.astype(jnp.float32), w.T.astype(jnp.float32)],
-            e, e_pad,
+            [xTg.astype(idt), sh.T.astype(idt), w.T.astype(idt)], e, e_pad
         )
         # padded edges carry zero sh/w -> zero message; point at node 0
         dst_c = jnp.pad(dst.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)])
@@ -313,15 +315,13 @@ def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
         e = sh.shape[0]
         blk, e_pad = _prep(sh.shape[0], e)
 
+        from matten_tpu.kernels.fused_tp import get_kernel_in_dtype
+
+        idt = jnp.dtype(get_kernel_in_dtype())
         gTg = g.T[:, dst]  # [Dout, E] cotangent gathered at destinations
         xTg = x_nodes.T[:, src]
         gTg, xTg, shT, wT = _pad_cols(
-            [
-                gTg.astype(jnp.float32),
-                xTg.astype(jnp.float32),
-                sh.T.astype(jnp.float32),
-                w.T.astype(jnp.float32),
-            ],
+            [gTg.astype(idt), xTg.astype(idt), sh.T.astype(idt), w.T.astype(idt)],
             e, e_pad,
         )
         src_c = jnp.pad(src.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)])

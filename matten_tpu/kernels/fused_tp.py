@@ -29,3 +29,21 @@ def set_tp_impl(impl: str, interpret: Optional[bool] = None) -> None:
 
 def get_tp_impl() -> str:
     return _TP_IMPL
+
+
+_KERNEL_IN_DTYPE = "float32"  # "float32" | "bfloat16" (kernel input storage)
+
+
+def set_kernel_in_dtype(name: str) -> None:
+    """Storage dtype for fused-kernel inputs (compute/accumulate stay f32).
+
+    bfloat16 halves the dominant HBM reads (x/sh/w edge arrays); validate
+    training quality before enabling in production runs.
+    """
+    global _KERNEL_IN_DTYPE
+    assert name in ("float32", "bfloat16"), name
+    _KERNEL_IN_DTYPE = name
+
+
+def get_kernel_in_dtype() -> str:
+    return _KERNEL_IN_DTYPE

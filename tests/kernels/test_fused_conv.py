@@ -109,3 +109,24 @@ def test_model_level_parity():
     finally:
         fused_tp.set_tp_impl("xla")
     np.testing.assert_allclose(out_pl, out_xla, atol=1e-5)
+
+
+def test_bf16_input_dtype_parity():
+    """bfloat16 kernel-input storage keeps f32 accumulation accuracy."""
+    from matten_tpu.kernels import fused_tp
+
+    rng = np.random.default_rng(5)
+    plan, x, sh, w, src, dst, n = _setup(rng, e=64, n=16)
+    ref = np.asarray(
+        fused_uvu_conv(plan, x, sh, w, src, dst, block=64, interpret=True)
+    )
+    try:
+        fused_tp.set_kernel_in_dtype("bfloat16")
+        out = np.asarray(
+            fused_uvu_conv(plan, x, sh, w, src, dst, block=64, interpret=True)
+        )
+    finally:
+        fused_tp.set_kernel_in_dtype("float32")
+    scale = max(np.abs(ref).max(), 1.0)
+    # bf16 storage: ~3 decimal digits
+    np.testing.assert_allclose(out / scale, ref / scale, atol=3e-2)
