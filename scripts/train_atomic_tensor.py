@@ -22,7 +22,11 @@ from matten_tpu.train import CanonicalRegressionTask, Trainer
 from matten_tpu.train.checkpoint import save_sidecar
 from train_materials_tensor import build_trainer_config
 
-logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+from matten_tpu.utils.logging import set_logger
+
+# jax/sitecustomize configures the root logger before us, so
+# basicConfig would be a no-op; set_logger replaces the handlers
+set_logger("INFO", filename="matten_tpu.log")
 logger = logging.getLogger("train")
 
 
