@@ -7,8 +7,10 @@
 // are kept. Called from Python via ctypes (matten_tpu/data/neighborlist.py).
 //
 // Two passes: count, then fill (caller sizes buffers between passes), or a
-// single pass when max_edges is large enough. A cell-list (spatial binning)
-// path activates for large atom counts.
+// single pass when max_edges is large enough. Complexity is
+// O(N^2 * images) — ample for crystal unit cells (the production datasets
+// top out near ~50 atoms); a cell-list (spatial binning) path would be the
+// next step if thousand-atom cells ever matter.
 
 #include <cmath>
 #include <cstdint>

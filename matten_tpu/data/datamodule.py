@@ -38,13 +38,15 @@ class BatchLoader:
         species_map: np.ndarray,
         shuffle: bool = False,
         seed: int = 0,
-        node_multiple: int = 64,
-        edge_multiple: int = 1024,
+        node_multiple: int = 32,
+        edge_multiple: int = 512,
         drop_last: bool = False,
         num_shards: int = 1,
         num_edge_shards: int = 1,
         node_shard: bool = False,
         ring: bool = False,
+        node_chunk: Optional[int] = "auto",
+        num_buckets: int = 4,
     ):
         """num_shards > 1 yields stacked per-shard batches [S, ...] for SPMD
         data parallelism (each shard is an independently padded sub-batch
@@ -52,7 +54,15 @@ class BatchLoader:
 
         num_edge_shards > 1 additionally splits each sub-batch's dst-sorted
         edge list into contiguous chunks [Sg, E/Sg, ...] for edge-partition
-        parallelism over the mesh's 'graph' axis."""
+        parallelism over the mesh's 'graph' axis.
+
+        num_buckets > 1 builds a small ladder of pad shapes sized from the
+        batch-sum distribution (mean + {1,2,...}sigma, capped by the
+        worst case); each batch is padded to the smallest bucket that fits,
+        so heterogeneous datasets stop paying worst-case dummy-edge FLOPs on
+        every batch while XLA compiles at most `num_buckets` programs per
+        step function. Sharded layouts use a single bucket (all shards of a
+        stacked batch must share one shape)."""
         if batch_size % num_shards != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by {num_shards}")
         self.graphs = graphs
@@ -66,22 +76,122 @@ class BatchLoader:
         self.num_edge_shards = num_edge_shards
         self.node_shard = node_shard
         self.ring = ring
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
-        # one global bucket per loader: max over a worst-case (sub-)batch, so
-        # every batch compiles to the same program
+        per_shard = batch_size // num_shards
+        from matten_tpu.kernels.fused_conv import CHUNK_THRESHOLD_NODES, NODE_CHUNK
+
+        self._chunk_threshold = CHUNK_THRESHOLD_NODES
+        if node_chunk == "auto":
+            node_chunk = NODE_CHUNK
+        else:
+            # explicit chunk size: engage as soon as one chunk overflows
+            self._chunk_threshold = node_chunk or CHUNK_THRESHOLD_NODES
+        self._node_chunk = node_chunk if num_edge_shards == 1 else None
+
+        # worst-case bucket: the k largest graphs in one (sub-)batch
         sizes = np.sort(np.array([g.num_nodes for g in self.graphs]))[::-1]
         esizes = np.sort(np.array([g.num_edges for g in self.graphs]))[::-1]
-        per_shard = batch_size // num_shards
         k = min(per_shard, len(graphs))
-        self.pad = PadSpec(
-            self._round(int(sizes[:k].sum()) + 1, node_multiple),
-            self._round(int(esizes[:k].sum()), edge_multiple),
-            per_shard,
-        )
+        n_max = int(sizes[:k].sum())
+        e_max = int(esizes[:k].sum())
+        self.pad = self._make_pad(n_max, e_max, per_shard)
+
+        # bucket ladder (single-shape layouts only): empirical quantiles of
+        # the random-batch sum distribution (bootstrap with a fixed rng so
+        # every epoch sees the same ladder), worst case as the final level
+        self.pads = [self.pad]
+        if (
+            num_buckets > 1
+            and num_shards == 1
+            and num_edge_shards == 1
+            and 1 < k < len(graphs)
+        ):
+            arr_n = np.array([g.num_nodes for g in self.graphs])
+            arr_e = np.array([g.num_edges for g in self.graphs])
+            boot = np.random.default_rng(0xB0C)
+            samp_n, samp_e = [], []
+            for _ in range(512):
+                pick = boot.choice(len(graphs), size=k, replace=False)
+                samp_n.append(int(arr_n[pick].sum()))
+                samp_e.append(int(arr_e[pick].sum()))
+            # evenly spaced quantile levels of the full-batch distribution
+            # + the worst case; e.g. num_buckets=4 -> q25 / q50 / q75 / max
+            qs = [(i + 1) / num_buckets for i in range(num_buckets - 1)]
+            ladder = [
+                self._make_pad(
+                    min(int(np.quantile(samp_n, q)), n_max),
+                    min(int(np.quantile(samp_e, q)), e_max),
+                    per_shard,
+                )
+                for q in qs
+            ]
+            k_tail = len(graphs) % batch_size
+            if 0 < k_tail < k:
+                # tail batches are much smaller than full ones; give them
+                # their own level (q95 of bootstrapped tail sums)
+                t_n = [int(arr_n[boot.choice(len(graphs), size=k_tail, replace=False)].sum()) for _ in range(256)]
+                t_e = [int(arr_e[boot.choice(len(graphs), size=k_tail, replace=False)].sum()) for _ in range(256)]
+                ladder.append(
+                    self._make_pad(
+                        min(int(np.quantile(t_n, 0.95)), n_max),
+                        min(int(np.quantile(t_e, 0.95)), e_max),
+                        per_shard,
+                    )
+                )
+            pads = sorted(
+                set(ladder + [self.pad]), key=lambda p: (p.num_nodes, p.num_edges)
+            )
+            # keep only strictly growing shapes (dedup after rounding)
+            self.pads = []
+            for p in pads:
+                if not self.pads or (
+                    p.num_nodes > self.pads[-1].num_nodes
+                    or p.num_edges > self.pads[-1].num_edges
+                ):
+                    self.pads.append(p)
+
+    def _make_pad(self, n: int, e: int, per_shard: int) -> PadSpec:
+        """Pad spec for raw totals (n nodes, e edges), honoring the rounding
+        multiples and the chunk-aligned edge capacity slack
+        (kernels/fused_conv.py node-chunked accumulator)."""
+        n_pad = self._round(n + 1, self.node_multiple)
+        e_pad = self._round(max(e, 1), self.edge_multiple)
+        node_chunk = self._node_chunk
+        if node_chunk is not None and n_pad > self._chunk_threshold:
+            from matten_tpu.kernels.fused_conv import EDGE_BLOCK
+
+            n_pad = self._round(n_pad, node_chunk)
+            # worst-case alignment slack: one partial block per node chunk
+            # (dst grouping) — the src-sorted view needs the same capacity
+            e_pad = self._round(
+                e_pad + (n_pad // node_chunk) * EDGE_BLOCK, self.edge_multiple
+            )
+            assert e_pad % EDGE_BLOCK == 0
+            return PadSpec(n_pad, e_pad, per_shard, node_chunk, EDGE_BLOCK)
+        return PadSpec(n_pad, e_pad, per_shard)
+
+    def _pick_pad(self, graphs: List[CrystalGraph]) -> PadSpec:
+        n = sum(g.num_nodes for g in graphs)
+        e = sum(g.num_edges for g in graphs)
+        for p in self.pads:
+            cap = p.num_edges
+            if p.node_chunk is not None:
+                # chunk alignment can consume up to one edge block per chunk
+                cap -= (p.num_nodes // p.node_chunk) * p.edge_block
+            if p.num_nodes > n and cap >= e:
+                return p
+        return self.pads[-1]
 
     @staticmethod
     def _round(n: int, m: int) -> int:
         return int(np.ceil(n / m)) * m
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffling deterministically per epoch (the torch
+        DistributedSampler convention), so a resumed run replays the same
+        batch order the uninterrupted run would have drawn."""
+        self._rng = np.random.default_rng(self.seed * 100_003 + epoch)
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -175,7 +285,9 @@ class BatchLoader:
             chunk = idx[i * self.batch_size : (i + 1) * self.batch_size]
             graphs = [self.graphs[j] for j in chunk]
             if self.num_shards == 1 and self.num_edge_shards == 1:
-                yield collate_graphs(graphs, self.pad, species_map=self.species_map)
+                yield collate_graphs(
+                    graphs, self._pick_pad(graphs), species_map=self.species_map
+                )
                 continue
             per = self.pad.num_graphs
             shards = []
@@ -226,6 +338,14 @@ class TensorDataModule:
         scalar_target_names: Optional[List[str]] = None,
         log_scalar_targets: Optional[List[bool]] = None,
         normalize_scalar_targets: Optional[List[bool]] = None,
+        # precomputed feature columns in the data file (the working analog
+        # of the reference's atom_featurizer/global_featurizer hand-off,
+        # dataset/structure_scalar_tensor.py:502-552): a column name or
+        # list of column names
+        atom_featurizer: Optional[Any] = None,
+        global_featurizer: Optional[Any] = None,
+        normalize_atom_features: bool = False,
+        normalize_global_features: bool = False,
         root: str = ".",
         reuse: bool = True,  # accepted for config compat; conversion is fast
         compute_dataset_statistics: bool = True,
@@ -234,6 +354,14 @@ class TensorDataModule:
         num_shards: int = 1,
     ):
         self.num_shards = num_shards
+
+        def _cols(spec):
+            if spec is None:
+                return ()
+            if isinstance(spec, str):
+                return (spec,)
+            return tuple(spec)
+
         self.cfg = TensorDatasetConfig(
             r_cut=r_cut,
             tensor_target_name=tensor_target_name,
@@ -244,7 +372,11 @@ class TensorDataModule:
             scalar_target_names=tuple(scalar_target_names or ()),
             log_scalar_targets=tuple(log_scalar_targets or ()),
             tensor_target_weight=tensor_target_weight,
+            atom_feats_columns=_cols(atom_featurizer),
+            global_feats_columns=_cols(global_featurizer),
         )
+        self.normalize_atom_features = normalize_atom_features
+        self.normalize_global_features = normalize_global_features
         self.root = Path(root)
         self.filenames = dict(
             train=trainset_filename, val=valset_filename, test=testset_filename
@@ -269,7 +401,8 @@ class TensorDataModule:
         key = hashlib.md5(
             f"{fname}|{cfg.r_cut}|{cfg.tensor_target_name}|{cfg.tensor_target_format}|"
             f"{cfg.tensor_target_formula}|{cfg.atom_selector}|{cfg.scalar_target_names}|"
-            f"{cfg.log_scalar_targets}|{cfg.tensor_target_scale}".encode()
+            f"{cfg.log_scalar_targets}|{cfg.tensor_target_scale}|"
+            f"{cfg.atom_feats_columns}|{cfg.global_feats_columns}".encode()
         ).hexdigest()[:12]
         return Path(self.root) / "processed" / f"{Path(fname).stem}_{key}.pkl"
 
@@ -316,15 +449,33 @@ class TensorDataModule:
             for split in self.graphs:
                 for g in self.graphs[split]:
                     g.y[name] = np.asarray(sn.forward(np.atleast_2d(g.y[name])))
+        # feature normalization (reference ScalarFeatureTransform applied as
+        # pre_transform, data/transform.py:306-411; the reference forbids the
+        # atom-feature case — supported here, train-set statistics)
+        for name, do in (
+            ("atom_feats", self.normalize_atom_features),
+            ("global_feats", self.normalize_global_features),
+        ):
+            if not do:
+                continue
+            fn = self.statistics.feature_normalizers[name]
+            for split in self.graphs:
+                for g in self.graphs[split]:
+                    g.x[name] = np.asarray(fn.forward(np.atleast_2d(g.x[name])))
 
     def get_to_model_info(self) -> Dict[str, Any]:
         """The dataset -> model hand-off (reference
         dataset/structure_scalar_tensor.py:640-666)."""
+
+        def _size(name):
+            g0 = self.graphs["train"][0]
+            return int(np.atleast_2d(g0.x[name]).shape[-1]) if name in g0.x else None
+
         return {
             "allowed_species": list(self.statistics.allowed_species),
             "average_num_neighbors": self.statistics.average_num_neighbors,
-            "global_feats_size": None,
-            "atom_feats_size": None,
+            "global_feats_size": _size("global_feats"),
+            "atom_feats_size": _size("atom_feats"),
         }
 
     def _loader(self, split: str, shuffle: bool) -> BatchLoader:

@@ -45,6 +45,14 @@ class TensorDatasetConfig:
     scalar_target_names: Tuple[str, ...] = ()
     log_scalar_targets: Tuple[bool, ...] = ()
     tensor_target_weight: Optional[Dict[str, Dict[str, float]]] = None
+    # precomputed feature columns (reference atom_featurizer/global_featurizer,
+    # dataset/structure_scalar_tensor.py:246-254,315-334 — the reference reads
+    # them through featurizer objects; here they are data-file columns):
+    # each atom-feature column holds an [N_atom, f] (or [N_atom]) array per
+    # row; global columns hold one scalar/vector per crystal. Columns are
+    # concatenated feature-wise into x["atom_feats"] / x["global_feats"].
+    atom_feats_columns: Tuple[str, ...] = ()
+    global_feats_columns: Tuple[str, ...] = ()
 
     @property
     def per_atom(self) -> bool:
@@ -139,6 +147,26 @@ def load_tensor_dataset(
             if cfg.tensor_target_weight and not dummy_targets:
                 (col, table), = cfg.tensor_target_weight.items()
                 x["target_weight"] = np.asarray([[table[row[col]]]])
+            if cfg.atom_feats_columns:
+                cols = []
+                for c in cfg.atom_feats_columns:
+                    v = np.asarray(row[c], dtype=np.float64).reshape(n, -1)
+                    cols.append(v)
+                af = np.concatenate(cols, axis=-1)
+                if not np.isfinite(af).all():
+                    raise ValueError("NaN/Inf in atom feats")
+                x["atom_feats"] = af
+            if cfg.global_feats_columns:
+                gf = np.concatenate(
+                    [
+                        np.asarray(row[c], dtype=np.float64).reshape(1, -1)
+                        for c in cfg.global_feats_columns
+                    ],
+                    axis=-1,
+                )
+                if not np.isfinite(gf).all():
+                    raise ValueError("NaN/Inf in global feats")
+                x["global_feats"] = gf
             g = CrystalGraph.from_structure(struct, r_cut=cfg.r_cut, x=x, y=y)
             graphs.append(g)
         except Exception as e:  # noqa: BLE001 — failure-tolerant conversion
@@ -162,6 +190,9 @@ class DatasetStatistics:
     average_num_neighbors: float = 1.0
     target_normalizer: Optional[MeanNormNormalize] = None
     scalar_normalizers: Dict[str, ScalarNormalize] = field(default_factory=dict)
+    # per-column standardizers for precomputed atom/global features
+    # (reference ScalarFeatureTransform, data/transform.py:306-411)
+    feature_normalizers: Dict[str, ScalarNormalize] = field(default_factory=dict)
 
     @classmethod
     def compute(
@@ -190,11 +221,19 @@ class DatasetStatistics:
             sn = ScalarNormalize(num_features=vals.shape[-1])
             sn.compute_statistics(vals)
             scalar_norms[name] = sn
+        feat_norms: Dict[str, ScalarNormalize] = {}
+        for name in ("atom_feats", "global_feats"):
+            if graphs and name in graphs[0].x:
+                vals = np.concatenate([np.atleast_2d(g.x[name]) for g in graphs])
+                fn = ScalarNormalize(num_features=vals.shape[-1])
+                fn.compute_statistics(vals)
+                feat_norms[name] = fn
         return cls(
             allowed_species=tuple(zs),
             average_num_neighbors=avg_nn,
             target_normalizer=tnorm,
             scalar_normalizers=scalar_norms,
+            feature_normalizers=feat_norms,
         )
 
     # ---- (de)serialization -------------------------------------------------
@@ -209,6 +248,9 @@ class DatasetStatistics:
         for k, sn in self.scalar_normalizers.items():
             out[f"scalar_{k}_mean"] = sn.mean
             out[f"scalar_{k}_std"] = sn.std
+        for k, fn in self.feature_normalizers.items():
+            out[f"feat_{k}_mean"] = fn.mean
+            out[f"feat_{k}_std"] = fn.std
         return out
 
     @classmethod
@@ -223,6 +265,7 @@ class DatasetStatistics:
                 norm=np.asarray(arrays["target_norm"]),
             )
         scalar_norms: Dict[str, ScalarNormalize] = {}
+        feat_norms: Dict[str, ScalarNormalize] = {}
         for k in arrays:
             if k.startswith("scalar_") and k.endswith("_mean"):
                 name = k[len("scalar_") : -len("_mean")]
@@ -231,11 +274,19 @@ class DatasetStatistics:
                 scalar_norms[name] = ScalarNormalize(
                     num_features=mean.shape[-1], mean=mean, std=std
                 )
+            elif k.startswith("feat_") and k.endswith("_mean"):
+                name = k[len("feat_") : -len("_mean")]
+                mean = np.asarray(arrays[k])
+                std = np.asarray(arrays[f"feat_{name}_std"])
+                feat_norms[name] = ScalarNormalize(
+                    num_features=mean.shape[-1], mean=mean, std=std
+                )
         return cls(
             allowed_species=tuple(int(z) for z in np.asarray(arrays["allowed_species"])),
             average_num_neighbors=float(arrays["average_num_neighbors"]),
             target_normalizer=tnorm,
             scalar_normalizers=scalar_norms,
+            feature_normalizers=feat_norms,
         )
 
     def save(self, path) -> None:

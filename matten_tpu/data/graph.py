@@ -22,7 +22,13 @@ from matten_tpu.data import keys as K
 from matten_tpu.data.neighborlist import periodic_radius_graph
 from matten_tpu.data.structure import Structure
 
-__all__ = ["CrystalGraph", "PadSpec", "collate_graphs", "pad_spec_for"]
+__all__ = [
+    "CrystalGraph",
+    "PadSpec",
+    "collate_graphs",
+    "pad_spec_for",
+    "chunk_align_edges",
+]
 
 
 @dataclass
@@ -76,6 +82,116 @@ class PadSpec:
     num_nodes: int
     num_edges: int
     num_graphs: int
+    # node-chunk / edge-block geometry for the chunk-aligned edge layout
+    # consumed by the node-chunked Pallas accumulator
+    # (kernels/fused_conv.py). None = plain dst-sorted layout.
+    node_chunk: Optional[int] = None
+    edge_block: int = 256
+
+
+def chunk_align_edges(
+    edge_index: np.ndarray,
+    edge_cell_shift: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes: int,
+    node_chunk: int,
+    edge_block: int,
+    capacity: int,
+) -> Dict[str, np.ndarray]:
+    """Re-layout a dst-sorted edge list for the chunked fused kernel.
+
+    Groups edges by destination node-chunk and pads each group to a multiple
+    of `edge_block` with inert self-loop fill edges (mask False -> zero SH /
+    radial weights downstream), so every edge block deposits into exactly
+    one [D_out, node_chunk] accumulator block. Also builds the source-sorted
+    permutation view with the same per-chunk alignment (fill slots point at
+    a masked edge) for the dx backward kernel.
+
+    Returns the replacement edge arrays + the kernel owner maps.
+    """
+    assert num_nodes % node_chunk == 0, (num_nodes, node_chunk)
+    assert capacity % edge_block == 0, (capacity, edge_block)
+    nc = num_nodes // node_chunk
+    src, dst = np.asarray(edge_index)
+    real = np.asarray(edge_mask, dtype=bool)
+    n_real = int(real.sum())
+
+    ei = np.zeros((2, capacity), dtype=np.int32)
+    shift = np.zeros((capacity, 3), dtype=edge_cell_shift.dtype)
+    mask = np.zeros(capacity, dtype=bool)
+    nb = capacity // edge_block
+    dst_owner = np.full(nb, nc - 1, dtype=np.int32)
+
+    def _fill(a, b, node):
+        # inert self-loops at `node` (zero-length -> masked SH, zero radial)
+        ei[:, a:b] = node
+
+    off = 0
+    r_src = src[real]
+    r_dst = dst[real]
+    r_shift = edge_cell_shift[real]
+    owner_of = r_dst // node_chunk
+    for c in range(nc):
+        sel = owner_of == c
+        k = int(sel.sum())
+        end = off + k
+        if end > capacity:
+            raise ValueError(
+                f"chunk-aligned edge capacity {capacity} exceeded "
+                f"({n_real} real edges, {nc} chunks, block {edge_block})"
+            )
+        ei[0, off:end] = r_src[sel]
+        ei[1, off:end] = r_dst[sel]
+        shift[off:end] = r_shift[sel]
+        mask[off:end] = True
+        pad_end = off + int(np.ceil(k / edge_block)) * edge_block
+        if pad_end > capacity:
+            raise ValueError(
+                f"chunk-aligned edge capacity {capacity} exceeded by alignment"
+            )
+        _fill(end, pad_end, c * node_chunk)
+        dst_owner[off // edge_block : pad_end // edge_block] = c
+        off = pad_end
+    _fill(off, capacity, num_nodes - 1)  # trailing blocks -> last chunk
+
+    # source-sorted permutation view (for the dx scatter): same grouping by
+    # SOURCE chunk; fill slots point at any masked (inert) edge
+    dummies = np.flatnonzero(~mask)
+    assert dummies.size > 0, "chunk alignment requires >= 1 dummy edge slot"
+    fill_idx = int(dummies[0])
+    src_perm = np.full(capacity, fill_idx, dtype=np.int32)
+    src_owner = np.full(nb, nc - 1, dtype=np.int32)
+    real_idx = np.flatnonzero(mask)
+    s_owner = ei[0, real_idx] // node_chunk
+    order = np.argsort(s_owner, kind="stable")
+    real_sorted = real_idx[order]
+    s_owner = s_owner[order]
+    off = 0
+    for c in range(nc):
+        sel = s_owner == c
+        k = int(sel.sum())
+        end = off + k
+        if end > capacity:
+            raise ValueError("src-sorted chunk alignment capacity exceeded")
+        src_perm[off:end] = real_sorted[sel]
+        pad_end = off + int(np.ceil(k / edge_block)) * edge_block
+        if pad_end > capacity:
+            raise ValueError("src-sorted chunk alignment capacity exceeded")
+        src_owner[off // edge_block : pad_end // edge_block] = c
+        off = pad_end
+    # fill slots (already = fill_idx) scatter zero messages into the owner
+    # chunk's first node; trailing blocks keep owner nc-1
+
+    return {
+        K.EDGE_INDEX: ei,
+        K.EDGE_CELL_SHIFT: shift,
+        K.EDGE_MASK: mask,
+        K.EDGE_DST_CHUNK: dst_owner,
+        K.EDGE_SRC_PERM: src_perm,
+        K.EDGE_SRC_CHUNK: src_owner,
+        # static geometry rides in the shape (len == num node chunks)
+        K.EDGE_CHUNK_TAG: np.zeros(nc, dtype=np.int8),
+    }
 
 
 def _round_bucket(n: int, multiple: int) -> int:
@@ -161,6 +277,21 @@ def collate_graphs(
     edge_cell_shift = edge_cell_shift[order]
     edge_mask = edge_mask[order]
 
+    chunk_fields = {}
+    if pad.node_chunk is not None and pad.num_nodes > pad.node_chunk:
+        chunk_fields = chunk_align_edges(
+            edge_index,
+            edge_cell_shift,
+            edge_mask,
+            pad.num_nodes,
+            pad.node_chunk,
+            pad.edge_block,
+            pad.num_edges,
+        )
+        edge_index = chunk_fields.pop(K.EDGE_INDEX)
+        edge_cell_shift = chunk_fields.pop(K.EDGE_CELL_SHIFT)
+        edge_mask = chunk_fields.pop(K.EDGE_MASK)
+
     data = {
         K.POSITIONS: pos,
         K.ATOMIC_NUMBERS: atomic_numbers,
@@ -173,14 +304,22 @@ def collate_graphs(
         K.CELL: cell,
         K.GRAPH_MASK: graph_mask,
     }
+    data.update(chunk_fields)
     if species_map is not None:
         z = np.clip(atomic_numbers, 0, len(species_map) - 1)
         data[K.SPECIES_INDEX] = species_map[z].astype(np.int32)
 
-    # extra per-node inputs (atom_feats)
+    # extra inputs: per-node (atom_feats) or per-graph (global_feats,
+    # target_weight), classified by leading dim — with the same 1-atom-graph
+    # disambiguation as targets below
     for key in graphs[0].x:
         vals = [np.asarray(g.x[key]) for g in graphs]
-        if vals[0].ndim >= 1 and vals[0].shape[0] == graphs[0].num_nodes:
+        per_node = vals[0].ndim >= 1 and vals[0].shape[0] == graphs[0].num_nodes
+        if per_node and not all(
+            v.shape[0] == g.num_nodes for v, g in zip(vals, graphs)
+        ):
+            per_node = False
+        if per_node:
             stacked = np.concatenate(vals, axis=0)
             out = np.zeros((pad.num_nodes,) + stacked.shape[1:], dtype=dtype)
             out[:n_tot] = stacked

@@ -14,20 +14,28 @@ never materializes messages:
   * per edge block (256 lanes): for each CG path, one MXU matmul
     (CG-table x SH block) followed by a short static fma loop over the
     2l+1 components inside a fori_loop over channels;
-  * aggregation: messages are immediately reduced into a [D_out, N]
-    accumulator that lives in VMEM across the whole grid (destination
-    one-hot matmul on the MXU — the segment-sum as dense contraction trick
-    for N <= ~1k nodes per batch);
+  * aggregation: messages are immediately reduced into a [D_out, C]
+    node-chunk accumulator that lives in VMEM while consecutive edge
+    blocks deposit into it (destination one-hot matmul on the MXU — the
+    segment-sum as dense contraction trick). A scalar-prefetched
+    block -> chunk owner map drives the output BlockSpec, so batches of
+    ANY node count run in the fused kernel: collation groups the
+    dst-sorted edge list so each edge block touches exactly one node
+    chunk (matten_tpu/data/graph.py chunk alignment), and Pallas keeps
+    the output block resident across the contiguous run of blocks that
+    own it, flushing once per chunk;
   * HBM traffic: read x/sh/w once, write the [D_out, N] aggregate once.
 
-Gradients: custom_vjp with the XLA-tier composition as backward (backward
-kernels are the next optimization tier).
+Gradients: custom_vjp with Pallas kernels for dx (the transposed plan run
+over a SOURCE-sorted edge permutation, so the scatter is chunk-local) and
+dw (per-edge inner products); dsh falls back to the XLA composition (dead
+code unless positions are differentiated).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +44,62 @@ import numpy as np
 from matten_tpu.ops.tensor_product import TensorProductPlan
 from matten_tpu.ops.wigner import wigner_3j
 
-__all__ = ["fused_uvu_conv"]
+__all__ = ["fused_uvu_conv", "EdgeChunks", "NODE_CHUNK", "EDGE_BLOCK"]
+
+
+def _interpret_params(interpret: bool):
+    """CPU-test interpreter selection: the Mosaic TPU interpreter.
+
+    `interpret=True`'s HLO interpreter replays the kernel jaxpr under a
+    vma-checked shard_map without the jnp-level pvary auto-insertion, so
+    internal constants (iota, zero inits) collide with shard-varying
+    operands; the Mosaic interpreter (pltpu.InterpretParams) emulates TPU
+    semantics and composes with the checker.
+    """
+    if not interpret:
+        return False
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.InterpretParams()
+
+
+# v5e has 128 MiB of VMEM per core; Mosaic's default 16 MiB scoped limit is
+# conservative. The chunked kernel's double-buffered [D_out, C] output block
+# + [D_out, B] message scratch + input blocks need ~17 MiB for the
+# production plan at C=B=256.
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
+# Default node-chunk / edge-block geometry for the chunk-aligned layout.
+# With the raised VMEM limit a SINGLE [D_out, N] accumulator serves the
+# production plan to N ~ 1500 with no alignment or node-rounding overhead,
+# so collation only switches to chunking above CHUNK_THRESHOLD_NODES;
+# beyond it, [D_out=4170, 512] chunks + [D_out, 256] message scratch +
+# double-buffered input blocks stay well inside the 64 MB budget.
+NODE_CHUNK = 512
+EDGE_BLOCK = 256
+CHUNK_THRESHOLD_NODES = 1024
+
+
+class EdgeChunks(NamedTuple):
+    """Chunk-aligned edge-layout metadata (built host-side at collation).
+
+    dst_owner: [E/B] int32 — node-chunk owner of each dst-sorted edge block
+        (non-decreasing; every block's edges target one chunk).
+    src_perm:  [E] int32 — permutation into the dst-sorted edge arrays that
+        orders edges by SOURCE node chunk (fill slots point at an inert
+        masked edge).
+    src_owner: [E/B] int32 — node-chunk owner of each src-sorted edge block.
+    """
+
+    dst_owner: jnp.ndarray
+    src_perm: jnp.ndarray
+    src_owner: jnp.ndarray
 
 
 def _plan_metas(plan: TensorProductPlan, transpose: bool = False):
@@ -106,12 +169,23 @@ def _build_call(
     n_edges: int,
     n_nodes: int,
     block: int,
+    chunk: int,
     interpret: bool,
     transpose: bool = False,
 ):
+    """Fused TP + chunked aggregation kernel.
+
+    Grid over edge blocks; a scalar-prefetched [E/block] owner map selects
+    the [dout, chunk] output block each edge block deposits into. The owner
+    map must be non-decreasing (edges grouped by destination chunk) so each
+    output block is visited in one contiguous run. chunk == n_nodes with an
+    all-zero owner map degenerates to the single-accumulator layout.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert n_nodes % chunk == 0, (n_nodes, chunk)
+    assert n_edges % block == 0, (n_edges, block)
     metas, c_all, max_d2 = _plan_metas(plan, transpose=transpose)
     # transposed plans read gradient rows (out irreps) and write input irreps;
     # their out entries collide across paths, so message rows accumulate
@@ -124,26 +198,31 @@ def _build_call(
 
     def col_block(d):
         # [feature_rows, edge_block] — features whole, edges blocked on lanes
-        return pl.BlockSpec((d, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (d, block), lambda i, own: (0, i), memory_space=pltpu.VMEM
+        )
 
     # group CG tables by SH entry so each edge block does ONE CG matmul per
     # spherical-harmonic degree instead of one per path
-    groups = {}  # i_in2 -> (sh_sl, [meta indices], row offsets)
+    groups = {}  # (sh start, sh stop) -> [meta indices]
     for idx, m in enumerate(metas):
         key = (m["sh_sl"].start, m["sh_sl"].stop)
         groups.setdefault(key, []).append(idx)
 
-    def kernel(xT_ref, shT_ref, wT_ref, dst_ref, c_ref, out_ref, msg_ref):
+    def kernel(own_ref, xT_ref, shT_ref, wT_ref, dst_ref, c_ref, out_ref, msg_ref):
         i = pl.program_id(0)
+        own = own_ref[i]
+        prev = own_ref[jnp.maximum(i - 1, 0)]
 
-        @pl.when(i == 0)
+        @pl.when((i == 0) | (own != prev))
         def _():
             out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        # destination one-hot [block, n_nodes] for the aggregation matmul
-        dst = dst_ref[:, 0:1]  # [block, 1] int32
-        node_ids = jax.lax.broadcasted_iota(jnp.int32, (block, n_nodes), 1)
-        onehot = (node_ids == dst).astype(jnp.float32)  # [block, N]
+        # destination one-hot [block, chunk] for the aggregation matmul
+        # (chunk-local ids; rows outside [0, chunk) vanish — fill edges)
+        dst = dst_ref[:, 0:1] - own * chunk  # [block, 1] int32
+        node_ids = jax.lax.broadcasted_iota(jnp.int32, (block, chunk), 1)
+        onehot = (node_ids == dst).astype(jnp.float32)  # [block, C]
 
         # one CG matmul per SH degree: t_all rows cover every path's d1*d3
         ts = {}
@@ -179,30 +258,47 @@ def _build_call(
                 else:
                     msg_ref[o0 : o0 + pd3, :] = val
 
-        # single aggregation matmul: [Dout, B] @ [B, N] accumulated over blocks
+        # single aggregation matmul: [Dout, B] @ [B, C] accumulated over the
+        # blocks owned by this chunk
         out_ref[:, :] += jnp.dot(
             msg_ref[:, :], onehot, preferred_element_type=jnp.float32
         )
 
-    call = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the block -> chunk owner map
         grid=grid,
         in_specs=[
             col_block(d1),
             col_block(d2),
             col_block(dw),
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(c_all.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i, own: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                c_all.shape, lambda i, own: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (dout, n_nodes), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (dout, chunk), lambda i, own: (0, own[i]), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((dout, n_nodes), jnp.float32),
         scratch_shapes=[pltpu.VMEM((dout, block), jnp.float32)],
-        interpret=interpret,
     )
     c_arr = jnp.asarray(c_all)
-    return lambda xT, shT, wT, dst: call(xT, shT, wT, dst, c_arr)
+
+    def run(own, xT, shT, wT, dst):
+        # under a vma-checked shard_map the output must declare which mesh
+        # axes it varies over: the union of the (per-shard) inputs'
+        vma = frozenset().union(
+            *(getattr(jax.typeof(a), "vma", frozenset()) for a in (xT, shT, wT))
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((dout, n_nodes), jnp.float32, vma=vma),
+            interpret=_interpret_params(interpret),
+            compiler_params=_compiler_params(),
+        )
+        return call(own, xT, shT, wT, dst, c_arr)
+
+    return run
 
 
 @functools.lru_cache(maxsize=None)
@@ -253,26 +349,51 @@ def _build_dw_call(
                 w0 = m["w_start"] + u
                 wg_ref[w0 : w0 + 1, :] = jnp.sum(acc * gu, axis=0, keepdims=True)
 
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            col_block(d1),
-            col_block(d2),
-            col_block(dout),
-            pl.BlockSpec(c_all.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=col_block(dw),
-        out_shape=jax.ShapeDtypeStruct((dw, n_edges), jnp.float32),
-        interpret=interpret,
-    )
     c_arr = jnp.asarray(c_all)
-    return lambda xT, shT, gT: call(xT, shT, gT, c_arr)
+
+    def run(xT, shT, gT):
+        vma = frozenset().union(
+            *(getattr(jax.typeof(a), "vma", frozenset()) for a in (xT, shT, gT))
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                col_block(d1),
+                col_block(d2),
+                col_block(dout),
+                pl.BlockSpec(c_all.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=col_block(dw),
+            out_shape=jax.ShapeDtypeStruct((dw, n_edges), jnp.float32, vma=vma),
+            interpret=_interpret_params(interpret),
+            compiler_params=_compiler_params(),
+        )
+        return call(xT, shT, gT, c_arr)
+
+    return run
 
 
 def _reference(plan, x_nodes, sh, w, src, dst, n_nodes):
     msg = plan.apply(x_nodes[src], sh, w)
     return jax.ops.segment_sum(msg, dst, num_segments=n_nodes)
+
+
+def _match_vma(cotangent, primal):
+    """psum a custom-vjp cotangent over mesh axes the primal does not vary on.
+
+    Under a vma-checked shard_map, a replicated input (e.g. node features in
+    edge-sharded graph parallelism) consumed by shard-varying edge arrays
+    yields per-shard partial gradients; the XLA tier gets the cross-shard
+    psum automatically from the pvary transpose, a custom_vjp must insert it
+    explicitly (cotangent vma must equal primal vma).
+    """
+    extra = getattr(jax.typeof(cotangent), "vma", frozenset()) - getattr(
+        jax.typeof(primal), "vma", frozenset()
+    )
+    if extra:
+        cotangent = jax.lax.psum(cotangent, tuple(sorted(extra)))
+    return cotangent
 
 
 def _pad_cols(arrs, e, e_pad):
@@ -282,17 +403,18 @@ def _pad_cols(arrs, e, e_pad):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
-    def _prep(sh_rows, e):
+def _make_fn(plan: TensorProductPlan, block: int, n_out: int, interpret: bool):
+    """Single-chunk variant (accumulator covers all n_out nodes)."""
+
+    def _prep(e):
         blk = min(block, e)
         e_pad = int(np.ceil(e / blk)) * blk
         return blk, e_pad
 
     @jax.custom_vjp
     def fused(x_nodes, sh, w, src, dst):
-        n_nodes = x_nodes.shape[0]
         e = sh.shape[0]
-        blk, e_pad = _prep(sh.shape[0], e)
+        blk, e_pad = _prep(e)
         from matten_tpu.kernels.fused_tp import get_kernel_in_dtype
 
         idt = jnp.dtype(get_kernel_in_dtype())
@@ -302,8 +424,9 @@ def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
         )
         # padded edges carry zero sh/w -> zero message; point at node 0
         dst_c = jnp.pad(dst.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)])
-        call = _build_call(plan, e_pad, n_nodes, blk, interpret)
-        aggT = call(xTg, shT, wT, dst_c)
+        own = jnp.zeros(e_pad // blk, dtype=jnp.int32)
+        call = _build_call(plan, e_pad, n_out, blk, n_out, interpret)
+        aggT = call(own, xTg, shT, wT, dst_c)
         return aggT.T.astype(x_nodes.dtype)
 
     def fwd(x_nodes, sh, w, src, dst):
@@ -311,9 +434,9 @@ def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
 
     def bwd(res, g):
         x_nodes, sh, w, src, dst = res
-        n_nodes = x_nodes.shape[0]
+        n_in = x_nodes.shape[0]
         e = sh.shape[0]
-        blk, e_pad = _prep(sh.shape[0], e)
+        blk, e_pad = _prep(e)
 
         from matten_tpu.kernels.fused_tp import get_kernel_in_dtype
 
@@ -325,10 +448,11 @@ def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
             e, e_pad,
         )
         src_c = jnp.pad(src.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)])
+        own = jnp.zeros(e_pad // blk, dtype=jnp.int32)
 
         # dx: the transposed plan scattered into SOURCE nodes
-        dx_call = _build_call(plan, e_pad, n_nodes, blk, interpret, transpose=True)
-        dxT = dx_call(gTg, shT, wT, src_c)
+        dx_call = _build_call(plan, e_pad, n_in, blk, n_in, interpret, transpose=True)
+        dxT = dx_call(own, gTg, shT, wT, src_c)
         dx = dxT.T.astype(x_nodes.dtype)
 
         # dw: per-edge inner products of the forward accumulators with g
@@ -340,26 +464,111 @@ def _make_fn(plan: TensorProductPlan, block: int, interpret: bool):
         # entirely when positions are not differentiated (the usual case —
         # this model family predicts tensors, not forces)
         _, vjp_sh = jax.vjp(
-            lambda s: _reference(plan, x_nodes, s, w, src, dst, n_nodes), sh
+            lambda s: _reference(plan, x_nodes, s, w, src, dst, g.shape[0]), sh
         )
         (dsh,) = vjp_sh(g)
-        return dx, dsh, dw, None, None
+        return (
+            _match_vma(dx, x_nodes),
+            _match_vma(dsh, sh),
+            _match_vma(dw, w),
+            None,
+            None,
+        )
 
     fused.defvjp(fwd, bwd)
     return fused
 
 
-def fits_vmem(plan: TensorProductPlan, n_nodes: int, block: int = 256) -> bool:
-    """Whether the VMEM-resident accumulator strategy applies.
+@functools.lru_cache(maxsize=None)
+def _make_chunked_fn(
+    plan: TensorProductPlan, block: int, n_out: int, chunk: int, interpret: bool
+):
+    """Chunk-aligned variant: arbitrary node counts, VMEM-bounded chunks.
 
-    The [D_out, N] accumulator + [D_out, block] message scratch + input
-    blocks must fit in ~16 MB of VMEM. Beyond that the caller should use
-    the XLA tier (node-chunked kernel variants are a future tier).
+    Requires the collation-produced layout (data/graph.py chunk alignment):
+    dst-sorted edges grouped so each `block` of edges targets one `chunk` of
+    nodes, plus a source-sorted permutation with the same property.
+    """
+
+    @jax.custom_vjp
+    def fused(x_nodes, sh, w, src, dst, dst_owner, src_perm, src_owner):
+        from matten_tpu.kernels.fused_tp import get_kernel_in_dtype
+
+        e = sh.shape[0]
+        assert e % block == 0, (e, block)
+        idt = jnp.dtype(get_kernel_in_dtype())
+        xTg = x_nodes.T[:, src].astype(idt)
+        shT = sh.T.astype(idt)
+        wT = w.T.astype(idt)
+        dst_c = dst.astype(jnp.int32).reshape(-1, 1)
+        call = _build_call(plan, e, n_out, block, chunk, interpret)
+        aggT = call(dst_owner, xTg, shT, wT, dst_c)
+        return aggT.T.astype(x_nodes.dtype)
+
+    def fwd(x_nodes, sh, w, src, dst, dst_owner, src_perm, src_owner):
+        out = fused(x_nodes, sh, w, src, dst, dst_owner, src_perm, src_owner)
+        return out, (x_nodes, sh, w, src, dst, dst_owner, src_perm, src_owner)
+
+    def bwd(res, g):
+        x_nodes, sh, w, src, dst, dst_owner, src_perm, src_owner = res
+        n_in = x_nodes.shape[0]
+        e = sh.shape[0]
+        from matten_tpu.kernels.fused_tp import get_kernel_in_dtype
+
+        idt = jnp.dtype(get_kernel_in_dtype())
+
+        # dx: transposed plan over the SOURCE-sorted edge view so the
+        # scatter is chunk-local (src_perm fill slots point at masked edges
+        # whose sh/w are zero -> zero contributions)
+        srcp = src[src_perm]
+        gTg_p = g.T[:, dst[src_perm]].astype(idt)
+        shT_p = sh.T[:, src_perm].astype(idt)
+        wT_p = w.T[:, src_perm].astype(idt)
+        src_c = srcp.astype(jnp.int32).reshape(-1, 1)
+        dx_call = _build_call(
+            plan, int(src_perm.shape[0]), n_in, block, chunk, interpret, transpose=True
+        )
+        dxT = dx_call(src_owner, gTg_p, shT_p, wT_p, src_c)
+        dx = dxT.T.astype(x_nodes.dtype)
+
+        # dw: per-edge, dst-sorted layout (no scatter)
+        xTg = x_nodes.T[:, src].astype(idt)
+        shT = sh.T.astype(idt)
+        gTg = g.T[:, dst].astype(idt)
+        dw_call = _build_dw_call(plan, e, block, interpret)
+        dwT = dw_call(xTg, shT, gTg)
+        dw = dwT.T.astype(w.dtype)
+
+        _, vjp_sh = jax.vjp(
+            lambda s: _reference(plan, x_nodes, s, w, src, dst, g.shape[0]), sh
+        )
+        (dsh,) = vjp_sh(g)
+        return (
+            _match_vma(dx, x_nodes),
+            _match_vma(dsh, sh),
+            _match_vma(dw, w),
+            None,
+            None,
+            None,
+            None,
+            None,
+        )
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fits_vmem(plan: TensorProductPlan, n_nodes: int, block: int = EDGE_BLOCK) -> bool:
+    """Whether a VMEM-resident [D_out, n_nodes] accumulator applies.
+
+    2x the accumulator (double-buffered output block) + message scratch +
+    double-buffered input blocks, against the raised Mosaic limit with ~20%
+    headroom for semaphores/stack.
     """
     dout = plan.irreps_out.dim
     d_in = plan.irreps_in1.dim + plan.irreps_in2.dim + plan.weight_numel
-    bytes_needed = 4 * (dout * n_nodes + dout * block + 2 * d_in * block)
-    return bytes_needed < 13 * 1024 * 1024
+    bytes_needed = 4 * (2 * dout * n_nodes + dout * block + 2 * d_in * block)
+    return bytes_needed < int(0.8 * _VMEM_LIMIT_BYTES)
 
 
 def fused_uvu_conv(
@@ -369,19 +578,40 @@ def fused_uvu_conv(
     w: jnp.ndarray,
     src: jnp.ndarray,
     dst: jnp.ndarray,
-    block: int = 256,
+    chunks: Optional[EdgeChunks] = None,
+    num_nodes_out: Optional[int] = None,
+    block: int = EDGE_BLOCK,
+    node_chunk: int = NODE_CHUNK,
     interpret: bool = None,
 ) -> jnp.ndarray:
-    """Aggregated messages [N, irreps_out.dim] without materializing them.
+    """Aggregated messages [N_out, irreps_out.dim] without materializing them.
 
-    Equivalent to  segment_sum(plan.apply(x_nodes[src], sh, w), dst, N).
-    Falls back to the XLA tier when the accumulator would not fit in VMEM.
+    Equivalent to  segment_sum(plan.apply(x_nodes[src], sh, w), dst, N_out).
+
+    `num_nodes_out` (default: x_nodes.shape[0]) sizes the output — under
+    node-sharded graph parallelism x_nodes is the halo-gathered global array
+    while dst ids and the output are shard-local.
+
+    `chunks` (EdgeChunks from chunk-aligned collation) engages the
+    node-chunked accumulator for batches whose [D_out, N] accumulator would
+    not fit in VMEM; without it such batches fall back to the XLA tier.
     `interpret=None` follows the global tier config (set_tp_impl).
     """
     if interpret is None:
         from matten_tpu.kernels import fused_tp
 
         interpret = fused_tp._INTERPRET
-    if not fits_vmem(plan, x_nodes.shape[0], block):
-        return _reference(plan, x_nodes, sh, w, src, dst, x_nodes.shape[0])
-    return _make_fn(plan, block, interpret)(x_nodes, sh, w, src, dst)
+    n_out = int(num_nodes_out) if num_nodes_out is not None else x_nodes.shape[0]
+    n_in = x_nodes.shape[0]
+    # the dx backward scatters into the (possibly halo-gathered) input nodes
+    dx_fits = 8 * plan.irreps_in1.dim * n_in < int(0.8 * _VMEM_LIMIT_BYTES)
+    if chunks is not None and n_out % node_chunk == 0 and n_out > node_chunk:
+        if fits_vmem(plan, node_chunk, block) and n_in == n_out:
+            return _make_chunked_fn(plan, block, n_out, node_chunk, interpret)(
+                x_nodes, sh, w, src, dst,
+                chunks.dst_owner, chunks.src_perm, chunks.src_owner,
+            )
+        return _reference(plan, x_nodes, sh, w, src, dst, n_out)
+    if not (fits_vmem(plan, n_out, block) and dx_fits):
+        return _reference(plan, x_nodes, sh, w, src, dst, n_out)
+    return _make_fn(plan, block, n_out, interpret)(x_nodes, sh, w, src, dst)

@@ -65,6 +65,8 @@ def create_tfn_backbone(
         embedding_dim=hparams.get("species_embedding_dim", 16),
         use_atom_feats=hparams.get("use_atom_feats", False),
         atom_feats_dim=dataset_hparams.get("atom_feats_size") or 0,
+        use_global_feats=hparams.get("use_global_feats", False),
+        global_feats_dim=dataset_hparams.get("global_feats_size") or 0,
         name="species_embedding",
     )
     layers.append(m)
@@ -169,17 +171,25 @@ def _target_irreps(formula: str) -> Irreps:
 class ScalarTensorModel(nn.Module):
     """Graph-level scalar/tensor prediction (reference ScalarTensorModel,
     model_factory/tfn_scalar_tensor.py:32-100): backbone + equivariant
-    Linear head into the target irreps, optional Cartesian readout."""
+    Linear head into the target irreps, optional Cartesian readout.
+
+    Multi-task: with `scalar_target_names` set, additional per-name 0e
+    Linear heads read the pooled hidden features and the model returns a
+    {target_name: prediction} dict (the reference's BaseModel multi-task
+    loss surface, model/model.py:234-274, which its shipped decode()
+    restricts to one task — here fully wired)."""
 
     backbone: Sequential
     hidden_irreps: Irreps  # conv_to_output_hidden irreps (head input)
     output_formula: str = "ijkl=jikl=klij"
     output_format: str = "irreps"
+    tensor_target_name: str = "elastic_tensor_full"
+    scalar_target_names: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(
         self, data: Dict[str, jnp.ndarray], use_running_average: bool = False
-    ) -> jnp.ndarray:
+    ):
         data = self.backbone(data, use_running_average=use_running_average)
         x = data[OUT_FIELD]  # [num_graphs, hidden_dim]
         plan = LinearPlan(Irreps(self.hidden_irreps), _target_irreps(self.output_formula))
@@ -187,7 +197,14 @@ class ScalarTensorModel(nn.Module):
         out = plan.apply(x, w)
         if self.output_format == "cartesian" and self.output_formula != "scalar":
             out = cartesian_tensor_map(self.output_formula).to_cartesian(out)
-        return out
+        if not self.scalar_target_names:
+            return out
+        preds = {self.tensor_target_name: out}
+        scalar_plan = LinearPlan(Irreps(self.hidden_irreps), Irreps("0e"))
+        for name in self.scalar_target_names:
+            ws = self.param(f"w_{name}", normal_initializer(), (scalar_plan.weight_numel,))
+            preds[name] = scalar_plan.apply(x, ws)
+        return preds
 
 
 class AtomicTensorModel(nn.Module):
@@ -225,6 +242,8 @@ def create_scalar_tensor_model(
         hidden_irreps=hidden,
         output_formula=hparams.get("output_formula", "ijkl=jikl=klij").lower(),
         output_format=hparams.get("output_format", "irreps"),
+        tensor_target_name=hparams.get("tensor_target_name", "elastic_tensor_full"),
+        scalar_target_names=tuple(hparams.get("scalar_target_names", ()) or ()),
     )
 
 

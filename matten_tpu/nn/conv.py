@@ -177,8 +177,22 @@ class PointConv(nn.Module):
                     else None
                 )
                 src_local = take(src_g) - g * c
-                msg = uvu_plan.apply(chunk[src_local], take(sh_g), take(w_g))
-                part = scatter_sum(msg, take(dst_g), num_nodes)
+                if get_tp_impl() == "pallas":
+                    from matten_tpu.kernels.fused_conv import fused_uvu_conv
+
+                    part = fused_uvu_conv(
+                        uvu_plan,
+                        chunk,
+                        take(sh_g),
+                        take(w_g),
+                        src_local,
+                        take(dst_g),
+                        num_nodes_out=num_nodes,
+                    )
+                else:
+                    msg = uvu_plan.apply(chunk[src_local], take(sh_g), take(w_g))
+                    part = scatter_sum(msg, take(dst_g), num_nodes)
+                part = part.astype(chunk.dtype)
                 agg = part if agg is None else agg + part
                 if nxt is not None:
                     chunk = nxt
@@ -195,13 +209,37 @@ class PointConv(nn.Module):
             else:
                 feats_src = feats
 
-            if get_tp_impl() == "pallas" and self.graph_axis is None:
+            if get_tp_impl() == "pallas":
                 # fused Pallas path: per-edge TP + aggregation without
-                # materializing messages in HBM (kernels/fused_conv.py)
-                from matten_tpu.kernels.fused_conv import fused_uvu_conv
+                # materializing messages in HBM (kernels/fused_conv.py).
+                # Active in every layout: single-device (optionally with the
+                # chunk-aligned collation for large batches), edge-sharded
+                # (nodes replicated, dst global, partials psum'd after lin2)
+                # and node-sharded (src indexes the halo-gathered features,
+                # dst and the output are shard-local).
+                from matten_tpu.kernels.fused_conv import EdgeChunks, fused_uvu_conv
 
+                chunks = None
+                kw = {}
+                if K.EDGE_DST_CHUNK in data and self.graph_axis is None:
+                    chunks = EdgeChunks(
+                        data[K.EDGE_DST_CHUNK],
+                        data[K.EDGE_SRC_PERM],
+                        data[K.EDGE_SRC_CHUNK],
+                    )
+                    # collation's chunk geometry is shape-encoded
+                    kw["node_chunk"] = num_nodes // data[K.EDGE_CHUNK_TAG].shape[0]
+                    kw["block"] = src.shape[0] // chunks.dst_owner.shape[0]
                 agg = fused_uvu_conv(
-                    uvu_plan, feats, edge_attrs, edge_weights, src, dst
+                    uvu_plan,
+                    feats_src,
+                    edge_attrs,
+                    edge_weights,
+                    src,
+                    dst,
+                    chunks=chunks,
+                    num_nodes_out=num_nodes,
+                    **kw,
                 )
             else:
                 msg = uvu_plan.apply(feats_src[src], edge_attrs, edge_weights)

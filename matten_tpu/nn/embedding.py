@@ -45,6 +45,11 @@ class SpeciesEmbedding(nn.Module):
     embedding_dim: int = 16
     use_atom_feats: bool = False
     atom_feats_dim: int = 0
+    # per-crystal features broadcast to that crystal's nodes and concatenated
+    # (functional extension of the reference's global_feats hand-off, whose
+    # in-repo consumption path is dead code)
+    use_global_feats: bool = False
+    global_feats_dim: int = 0
 
     @property
     def num_species(self) -> int:
@@ -52,7 +57,11 @@ class SpeciesEmbedding(nn.Module):
 
     @property
     def irreps_out(self) -> IrrepsDictT:
-        feats_dim = self.embedding_dim + (self.atom_feats_dim if self.use_atom_feats else 0)
+        feats_dim = (
+            self.embedding_dim
+            + (self.atom_feats_dim if self.use_atom_feats else 0)
+            + (self.global_feats_dim if self.use_global_feats else 0)
+        )
         return merge_irreps(
             self.irreps_in,
             {
@@ -78,6 +87,11 @@ class SpeciesEmbedding(nn.Module):
         embed = nn.Dense(self.embedding_dim, name="linear")(attrs)
         if self.use_atom_feats:
             embed = jnp.concatenate([embed, data[K.ATOM_FEATS]], axis=-1)
+        if self.use_global_feats:
+            per_node = data[K.GLOBAL_FEATS][data[K.BATCH]]
+            if K.NODE_MASK in data:
+                per_node = per_node * data[K.NODE_MASK][:, None].astype(per_node.dtype)
+            embed = jnp.concatenate([embed, per_node], axis=-1)
         data[K.NODE_ATTRS] = attrs
         data[K.NODE_FEATURES] = embed
         return data

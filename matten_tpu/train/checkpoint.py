@@ -80,11 +80,34 @@ class CheckpointManager:
                 shutil.rmtree(wpath)
         self._save_index()
 
-    def save_last(self, state):
+    def save_last(self, state, loop_state: Optional[Dict[str, Any]] = None):
+        """Save the rolling `last` checkpoint (+ training-loop state).
+
+        Called every epoch (reference ModelCheckpoint save_last=True
+        semantics): a crash resumes from the latest epoch with the
+        optimizer, LR-scheduler and early-stopping positions intact.
+        """
         path = self.directory / "last"
+        tmp = self.directory / "last_tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, state)
         if path.exists():
             shutil.rmtree(path)
-        self._ckptr.save(path, state)
+        tmp.rename(path)
+        if loop_state is not None:
+            with open(self.directory / "loop_state.json", "w") as f:
+                json.dump(loop_state, f)
+
+    def load_loop_state(self) -> Optional[Dict[str, Any]]:
+        p = self.directory / "loop_state.json"
+        if not p.exists():
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def has_last(self) -> bool:
+        return (self.directory / "last").exists()
 
     @property
     def best_epoch(self) -> Optional[int]:

@@ -79,14 +79,42 @@ def main(config: dict):
     dataset_hparams = dm.get_to_model_info()
     logger.info("dataset hand-off: %s", dataset_hparams)
 
-    model = create_scalar_tensor_model(config["model"], dataset_hparams)
-    task = CanonicalRegressionTask(
-        name=config["data"].get("tensor_target_name", "elastic_tensor_full"),
-        normalizer=dm.statistics.target_normalizer if dm.normalize_tensor_target else None,
+    # multi-task surface: scalar targets named in the data config get their
+    # own 0e heads + weighted loss/metric terms (reference BaseModel
+    # multi-task semantics, model/model.py:234-274,398-445)
+    scalar_names = list(config["data"].get("scalar_target_names") or [])
+    norm_scalars = list(config["data"].get("normalize_scalar_targets") or [])
+    task_weights = config.get("model", {}).get("task_weights", {}) or {}
+    model_hparams = dict(
+        config["model"],
+        tensor_target_name=config["data"].get("tensor_target_name", "elastic_tensor_full"),
+        scalar_target_names=scalar_names,
     )
+    model_hparams.pop("task_weights", None)
+    model = create_scalar_tensor_model(model_hparams, dataset_hparams)
+
+    tensor_name = config["data"].get("tensor_target_name", "elastic_tensor_full")
+    tasks = [
+        CanonicalRegressionTask(
+            name=tensor_name,
+            loss_weight=float(task_weights.get(tensor_name, 1.0)),
+            metric_weight=float(task_weights.get(tensor_name, 1.0)),
+            normalizer=dm.statistics.target_normalizer if dm.normalize_tensor_target else None,
+        )
+    ]
+    for i, name in enumerate(scalar_names):
+        normalized = bool(norm_scalars[i]) if i < len(norm_scalars) else False
+        tasks.append(
+            CanonicalRegressionTask(
+                name=name,
+                loss_weight=float(task_weights.get(name, 1.0)),
+                metric_weight=float(task_weights.get(name, 1.0)),
+                normalizer=dm.statistics.scalar_normalizers[name] if normalized else None,
+            )
+        )
 
     tcfg = build_trainer_config(config)
-    trainer = Trainer(model, [task], tcfg)
+    trainer = Trainer(model, tasks, tcfg)
     state = trainer.init_state(next(iter(dm.train_dataloader())), rng_seed=seed)
 
     if tcfg.checkpoint_dir:
@@ -105,7 +133,10 @@ def main(config: dict):
             statistics_arrays=dm.statistics.to_arrays(),
         )
 
-    state = trainer.fit(state, dm)
+    # `restore: true` (reference pretrained/20230627/config_final.yaml:48):
+    # resume from the `last` checkpoint with the full loop state
+    resume = bool(config.get("restore", config.get("trainer", {}).get("restore", False)))
+    state = trainer.fit(state, dm, resume=resume)
     metrics = trainer.test(state, dm)
     logger.info("test metrics: %s", metrics)
     return metrics
