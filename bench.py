@@ -119,8 +119,11 @@ def main():
             pass
     if recs:
         prev = max(recs)[1]
-        if prev.get("value"):
-            vs = edges_per_s / float(prev["value"])
+        # the driver's BENCH_r*.json wraps the printed line under "parsed";
+        # accept both that shape and a bare {"value": ...} record
+        prev_val = prev.get("value") or prev.get("parsed", {}).get("value")
+        if prev_val:
+            vs = edges_per_s / float(prev_val)
 
     print(
         json.dumps(

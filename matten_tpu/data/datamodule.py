@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from typing import Any, Dict, Iterator, List, Optional, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -45,7 +45,7 @@ class BatchLoader:
         num_edge_shards: int = 1,
         node_shard: bool = False,
         ring: bool = False,
-        node_chunk: Optional[int] = "auto",
+        node_chunk: Union[int, str, None] = "auto",
         num_buckets: int = 4,
     ):
         """num_shards > 1 yields stacked per-shard batches [S, ...] for SPMD
@@ -167,7 +167,12 @@ class BatchLoader:
             e_pad = self._round(
                 e_pad + (n_pad // node_chunk) * EDGE_BLOCK, self.edge_multiple
             )
-            assert e_pad % EDGE_BLOCK == 0
+            if e_pad % EDGE_BLOCK != 0:
+                raise ValueError(
+                    f"edge_multiple={self.edge_multiple} is incompatible with "
+                    f"the chunk-aligned layout: padded edge count {e_pad} must "
+                    f"be a multiple of EDGE_BLOCK={EDGE_BLOCK}"
+                )
             return PadSpec(n_pad, e_pad, per_shard, node_chunk, EDGE_BLOCK)
         return PadSpec(n_pad, e_pad, per_shard)
 

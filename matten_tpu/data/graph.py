@@ -30,6 +30,10 @@ __all__ = [
     "chunk_align_edges",
 ]
 
+# x-dict keys that are always per-graph, never per-node (collation must not
+# shape-sniff these: a batch of 1-atom graphs makes [1, F] rows look node-like)
+PER_GRAPH_KEYS = frozenset({K.GLOBAL_FEATS, "target_weight"})
+
 
 @dataclass
 class CrystalGraph:
@@ -144,7 +148,11 @@ def chunk_align_edges(
         ei[1, off:end] = r_dst[sel]
         shift[off:end] = r_shift[sel]
         mask[off:end] = True
-        pad_end = off + int(np.ceil(k / edge_block)) * edge_block
+        # every chunk owns >= 1 block, even with no incident real edges —
+        # otherwise the kernel's owner map never visits that chunk's output
+        # block and it stays uninitialized HBM (the _make_pad slack budgets
+        # exactly one extra block per chunk)
+        pad_end = off + max(1, int(np.ceil(k / edge_block))) * edge_block
         if pad_end > capacity:
             raise ValueError(
                 f"chunk-aligned edge capacity {capacity} exceeded by alignment"
@@ -174,7 +182,8 @@ def chunk_align_edges(
         if end > capacity:
             raise ValueError("src-sorted chunk alignment capacity exceeded")
         src_perm[off:end] = real_sorted[sel]
-        pad_end = off + int(np.ceil(k / edge_block)) * edge_block
+        # same >=1-block guarantee as the dst view (dx gradients)
+        pad_end = off + max(1, int(np.ceil(k / edge_block))) * edge_block
         if pad_end > capacity:
             raise ValueError("src-sorted chunk alignment capacity exceeded")
         src_owner[off // edge_block : pad_end // edge_block] = c
@@ -310,15 +319,20 @@ def collate_graphs(
         data[K.SPECIES_INDEX] = species_map[z].astype(np.int32)
 
     # extra inputs: per-node (atom_feats) or per-graph (global_feats,
-    # target_weight), classified by leading dim — with the same 1-atom-graph
-    # disambiguation as targets below
+    # target_weight). Known per-graph keys are routed explicitly — a batch of
+    # all 1-atom graphs would otherwise pass the shape[0]==num_nodes sniff
+    # and get padded node-wise (silently wrong features downstream); the
+    # heuristic only applies to unknown keys.
     for key in graphs[0].x:
         vals = [np.asarray(g.x[key]) for g in graphs]
-        per_node = vals[0].ndim >= 1 and vals[0].shape[0] == graphs[0].num_nodes
-        if per_node and not all(
-            v.shape[0] == g.num_nodes for v, g in zip(vals, graphs)
-        ):
+        if key in PER_GRAPH_KEYS:
             per_node = False
+        else:
+            per_node = vals[0].ndim >= 1 and vals[0].shape[0] == graphs[0].num_nodes
+            if per_node and not all(
+                v.shape[0] == g.num_nodes for v, g in zip(vals, graphs)
+            ):
+                per_node = False
         if per_node:
             stacked = np.concatenate(vals, axis=0)
             out = np.zeros((pad.num_nodes,) + stacked.shape[1:], dtype=dtype)

@@ -197,6 +197,69 @@ def test_chunked_gradient_parity():
         )
 
 
+def test_chunked_empty_chunk_coverage():
+    """A node chunk with no incident real edges must still own >= 1 edge
+    block in BOTH owner maps — otherwise its [D_out, chunk] output block is
+    never visited and stays uninitialized HBM (silent garbage)."""
+    from matten_tpu.data import keys as K
+    from matten_tpu.data.graph import chunk_align_edges
+    from matten_tpu.kernels.fused_conv import EdgeChunks
+
+    rng = np.random.default_rng(11)
+    n, node_chunk, block = 32, 8, 16
+    nc = n // node_chunk
+    # real edges touch only chunks 0 and 3 (as src AND dst): chunks 1, 2 are
+    # edge-free (vacuum region)
+    e_real = 40
+    nodes = np.concatenate([np.arange(0, 8), np.arange(24, 32)])
+    capacity = (int(np.ceil(e_real / block)) + nc + 1) * block
+    src = rng.choice(nodes, capacity).astype(np.int32)
+    dst = np.sort(rng.choice(nodes, capacity)).astype(np.int32)
+    mask = np.zeros(capacity, dtype=bool)
+    mask[:e_real] = True
+    dst[:e_real] = np.sort(dst[:e_real])
+    shift = np.zeros((capacity, 3), dtype=np.float32)
+    fields = chunk_align_edges(
+        np.stack([src, dst]), shift, mask, n, node_chunk, block, capacity
+    )
+    assert set(fields[K.EDGE_DST_CHUNK]) == set(range(nc))
+    assert set(fields[K.EDGE_SRC_CHUNK]) == set(range(nc))
+
+    # kernel parity: the empty chunks' outputs must be exact zeros
+    ir1 = Irreps("8x0e+4x1o+2x2e")
+    ir2 = Irreps("0e+1o+2e")
+    plan = uvu_tp_plan(ir1, ir2, ir1)
+    ei, emask = fields[K.EDGE_INDEX], fields[K.EDGE_MASK]
+    chunks = EdgeChunks(
+        jnp.asarray(fields[K.EDGE_DST_CHUNK]),
+        jnp.asarray(fields[K.EDGE_SRC_PERM]),
+        jnp.asarray(fields[K.EDGE_SRC_CHUNK]),
+    )
+    x = jnp.asarray(rng.normal(size=(n, ir1.dim)), dtype=jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(capacity, ir2.dim)) * emask[:, None], jnp.float32)
+    w = jnp.asarray(
+        rng.normal(size=(capacity, plan.weight_numel)) * emask[:, None], jnp.float32
+    )
+    s, d = jnp.asarray(ei[0]), jnp.asarray(ei[1])
+
+    def fused(x, sh, w):
+        return fused_uvu_conv(
+            plan, x, sh, w, s, d,
+            chunks=chunks, block=block, node_chunk=node_chunk, interpret=True,
+        )
+
+    ref = np.asarray(_reference(plan, x, sh, w, s, d, n))
+    out = np.asarray(fused(x, sh, w))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    assert (out[8:24] == 0).all()
+    # dx through the src-sorted view must cover the empty chunks too
+    g1 = jax.grad(lambda *a: (fused(*a) ** 2).sum(), argnums=0)(x, sh, w)
+    g2 = jax.grad(
+        lambda *a: (_reference(plan, *a, s, d, n) ** 2).sum(), argnums=0
+    )(x, sh, w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
 def test_chunk_align_collation_invariants():
     """Every edge block targets one dst chunk; src view covers all real edges."""
     from matten_tpu.data import keys as K
