@@ -483,15 +483,50 @@ class TensorDataModule:
             "atom_feats_size": _size("atom_feats"),
         }
 
+    # loader_kwargs keys forwarded verbatim to BatchLoader (the user surface
+    # for bucketing/chunking); sharding keys come from set_sharding()
+    _LOADER_PASSTHROUGH = (
+        "node_multiple",
+        "edge_multiple",
+        "num_buckets",
+        "node_chunk",
+        "drop_last",
+    )
+
+    def set_sharding(
+        self,
+        num_shards: int = 1,
+        num_edge_shards: int = 1,
+        node_shard: bool = False,
+        ring: bool = False,
+    ) -> None:
+        """Configure the SPMD batch layout (mesh data/graph axes) for all
+        loaders — the scripts wire this from trainer.devices/trainer.mesh
+        (replacing the reference's Lightning num_nodes/devices knobs,
+        scripts/configs/materials_tensor.yaml:73-76)."""
+        self._shard_kwargs = dict(
+            num_shards=num_shards,
+            num_edge_shards=num_edge_shards,
+            node_shard=node_shard,
+            ring=ring,
+        )
+
     def _loader(self, split: str, shuffle: bool) -> BatchLoader:
         bs = int(self.loader_kwargs.get("batch_size", 32))
+        extra = {
+            k: self.loader_kwargs[k]
+            for k in self._LOADER_PASSTHROUGH
+            if k in self.loader_kwargs
+        }
+        shard = getattr(self, "_shard_kwargs", None) or dict(num_shards=self.num_shards)
         return BatchLoader(
             self.graphs[split],
             batch_size=bs,
             species_map=self.species_map,
             shuffle=shuffle,
             seed=self.seed,
-            num_shards=self.num_shards,
+            **shard,
+            **extra,
         )
 
     def train_dataloader(self) -> BatchLoader:

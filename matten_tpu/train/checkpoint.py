@@ -11,6 +11,7 @@ dataset_statistics.pt, reference model/model.py:66, data/dataset.py:129-142).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -96,15 +97,24 @@ class CheckpointManager:
             shutil.rmtree(path)
         tmp.rename(path)
         if loop_state is not None:
-            with open(self.directory / "loop_state.json", "w") as f:
+            # atomic write: a crash mid-write must not leave corrupt JSON
+            # (resume would die on json.load)
+            ltmp = self.directory / "loop_state.json.tmp"
+            with open(ltmp, "w") as f:
                 json.dump(loop_state, f)
+            os.replace(ltmp, self.directory / "loop_state.json")
 
     def load_loop_state(self) -> Optional[Dict[str, Any]]:
         p = self.directory / "loop_state.json"
         if not p.exists():
             return None
-        with open(p) as f:
-            return json.load(f)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # corrupt sidecar (crash between `last` rename and the loop-state
+            # write): fall back to state-only resume
+            return None
 
     def has_last(self) -> bool:
         return (self.directory / "last").exists()

@@ -87,10 +87,14 @@ class TrainerConfig:
     max_epochs: int = 1000
     lr: float = 0.01
     weight_decay: float = 1e-5
-    # "adam" (reference default, configs yaml:103-108) | "sgd" (exact-parity
-    # tests: first-step param deltas are lr-scaled gradients, so comparisons
-    # are not amplified by Adam's sign(g)*lr normalization)
+    # "adam" (reference default, configs yaml:103-108; torch-Adam semantics,
+    # L2 added to gradients) | "adamw" (decoupled decay) | "sgd" (exact-
+    # parity tests: first-step param deltas are lr-scaled gradients, so
+    # comparisons are not amplified by Adam's sign(g)*lr normalization)
     optimizer: str = "adam"
+    # "plateau" (ReduceLROnPlateau on val/score) | "none" (constant LR;
+    # reference lr_scheduler class_path: none, model/model.py:464-480)
+    scheduler: str = "plateau"
     lr_factor: float = 0.5
     lr_patience: int = 50
     early_stopping_patience: int = 150
@@ -123,8 +127,10 @@ class Trainer:
         self.tx = optax.inject_hyperparams(
             functools.partial(self._make_tx, kind=config.optimizer)
         )(learning_rate=config.lr, weight_decay=config.weight_decay)
-        self.scheduler = ReduceLROnPlateau(
-            factor=config.lr_factor, patience=config.lr_patience
+        self.scheduler = (
+            ReduceLROnPlateau(factor=config.lr_factor, patience=config.lr_patience)
+            if getattr(config, "scheduler", "plateau") != "none"
+            else None
         )
         self.history: List[Dict[str, float]] = []
         self._step_cache: Dict = {}
@@ -169,7 +175,10 @@ class Trainer:
 
     @staticmethod
     def _make_tx(learning_rate, weight_decay, kind="adam"):
-        # torch-Adam semantics: L2 decay added to gradients before the update
+        if kind == "adamw":
+            # torch-AdamW semantics: decoupled weight decay
+            return optax.adamw(learning_rate, weight_decay=weight_decay)
+        # torch-Adam/SGD semantics: L2 decay added to gradients before update
         opt = {"adam": optax.adam, "sgd": optax.sgd}[kind]
         return optax.chain(
             optax.add_decayed_weights(weight_decay),
@@ -179,6 +188,16 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, sample_batch: Tuple[Dict, Dict], rng_seed: int = 0) -> TrainState:
         data = {k: jnp.asarray(v) for k, v in sample_batch[0].items()}
+        if self.mesh is not None and np.asarray(data[K.POSITIONS]).ndim >= 3:
+            # sharded-loader batch ([S, ...] stacked, graph-sharded fields
+            # [S, Sg, ...]): init traces on shard (0, 0)'s local view —
+            # parameter shapes are independent of node/edge counts
+            gax = dict(self.mesh.shape).get(self.graph_axis, 1)
+            sharded = set(self._graph_sharded_fields())
+            data = {
+                k: (v[0, 0] if gax > 1 and k in sharded else v[0])
+                for k, v in data.items()
+            }
         variables = self.model.init(jax.random.PRNGKey(rng_seed), data)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", flax_core.FrozenDict())
@@ -516,17 +535,33 @@ class Trainer:
         assert self._ckpt_manager is not None, "no checkpoint_dir configured"
         return self._ckpt_manager.restore(template, last=True)
 
+    def restore_best(self, template: TrainState) -> TrainState:
+        """Restore the best-val/score checkpoint (the reference's
+        trainer.test(ckpt_path="best"), scripts/train_materials_tensor.py:65)."""
+        assert self._ckpt_manager is not None, "no checkpoint_dir configured"
+        return self._ckpt_manager.restore(template)
+
+    def has_best(self) -> bool:
+        return (
+            self._ckpt_manager is not None
+            and self._ckpt_manager.best_epoch is not None
+        )
+
     def _loop_state(self, epoch, best_score, best_epoch, epochs_no_improve):
         return {
             "epoch": epoch,
             "best_score": best_score,
             "best_epoch": best_epoch,
             "epochs_no_improve": epochs_no_improve,
-            "scheduler": {
-                "best": self.scheduler.best,
-                "num_bad": self.scheduler.num_bad,
-                "scale": self.scheduler.scale,
-            },
+            "scheduler": (
+                {
+                    "best": self.scheduler.best,
+                    "num_bad": self.scheduler.num_bad,
+                    "scale": self.scheduler.scale,
+                }
+                if self.scheduler is not None
+                else None
+            ),
         }
 
     def fit(
@@ -561,11 +596,12 @@ class Trainer:
                 best_score = float(loop["best_score"])
                 best_epoch = int(loop["best_epoch"])
                 epochs_no_improve = int(loop["epochs_no_improve"])
-                sch = loop["scheduler"]
-                self.scheduler.best = float(sch["best"])
-                self.scheduler.num_bad = int(sch["num_bad"])
-                self.scheduler.scale = float(sch["scale"])
-                state = self._set_lr(state, cfg.lr * self.scheduler.scale)
+                sch = loop.get("scheduler")
+                if self.scheduler is not None and sch is not None:
+                    self.scheduler.best = float(sch["best"])
+                    self.scheduler.num_bad = int(sch["num_bad"])
+                    self.scheduler.scale = float(sch["scale"])
+                    state = self._set_lr(state, cfg.lr * self.scheduler.scale)
             logger.info("resumed from `last` at epoch %d", start_epoch)
 
         for epoch in range(start_epoch, cfg.max_epochs):
@@ -586,7 +622,7 @@ class Trainer:
             score = val_metrics["score"]
 
             # plateau scheduler + early stopping on val/score
-            if self.scheduler.step(score):
+            if self.scheduler is not None and self.scheduler.step(score):
                 new_lr = cfg.lr * self.scheduler.scale
                 logger.info("epoch %d: reducing lr to %g", epoch, new_lr)
                 state = self._set_lr(state, new_lr)
@@ -608,7 +644,7 @@ class Trainer:
                 "train/loss": float(np.mean(train_losses)),
                 "val/loss": val_metrics["loss"],
                 "val/score": score,
-                "lr_scale": self.scheduler.scale,
+                "lr_scale": self.scheduler.scale if self.scheduler else 1.0,
                 "epoch_time": epoch_time,
                 "cumulative_time": time.time() - t_start,
                 "train/edges_per_s": epoch_edges / max(epoch_time, 1e-9),

@@ -20,7 +20,7 @@ from matten_tpu.data.datamodule import TensorDataModule
 from matten_tpu.models import create_atomic_tensor_model
 from matten_tpu.train import CanonicalRegressionTask, Trainer
 from matten_tpu.train.checkpoint import save_sidecar
-from train_materials_tensor import build_trainer_config
+from matten_tpu.train.config import build_mesh_spec, build_trainer_config
 
 from matten_tpu.utils.logging import set_logger
 
@@ -55,15 +55,40 @@ def main(config: dict):
     dataset_hparams = dm.get_to_model_info()
     logger.info("dataset hand-off: %s", dataset_hparams)
 
-    model = create_atomic_tensor_model(config["model"], dataset_hparams)
+    # multi-chip SPMD from config (same surface as the materials script)
+    mesh_spec = build_mesh_spec(config)
+    mesh = None
+    if mesh_spec is not None:
+        mesh = mesh_spec.make_mesh()
+        dm.set_sharding(**mesh_spec.loader_kwargs())
+        logger.info(
+            "mesh: data=%d graph=%d mode=%s",
+            mesh_spec.n_data, mesh_spec.n_graph, mesh_spec.mode,
+        )
+
+    model_hparams = dict(config["model"])
+    task_weights = model_hparams.pop("task_weights", {}) or {}
+    if mesh_spec is not None and mesh_spec.n_graph > 1:
+        model_hparams["graph_parallel_axis"] = "graph"
+        model_hparams["graph_parallel_mode"] = mesh_spec.mode
+    model = create_atomic_tensor_model(model_hparams, dataset_hparams)
+    tensor_name = config["data"].get("tensor_target_name", "nmr_tensor")
     task = CanonicalRegressionTask(
-        name=config["data"].get("tensor_target_name", "nmr_tensor"),
+        name=tensor_name,
         per_atom=True,
+        loss_weight=float(task_weights.get(tensor_name, 1.0)),
+        metric_weight=float(task_weights.get(tensor_name, 1.0)),
         normalizer=dm.statistics.target_normalizer if dm.normalize_tensor_target else None,
     )
 
     tcfg = build_trainer_config(config)
-    trainer = Trainer(model, [task], tcfg)
+    trainer = Trainer(
+        model,
+        [task],
+        tcfg,
+        mesh=mesh,
+        graph_shard_mode=mesh_spec.mode if mesh_spec is not None else "edge",
+    )
     state = trainer.init_state(next(iter(dm.train_dataloader())), rng_seed=seed)
 
     if tcfg.checkpoint_dir:
@@ -82,9 +107,14 @@ def main(config: dict):
             statistics_arrays=dm.statistics.to_arrays(),
         )
 
-    state = trainer.fit(state, dm)
-    metrics = trainer.test(state, dm)
-    logger.info("test metrics: %s", metrics)
+    # `restore: true`: resume from the `last` checkpoint with loop state
+    resume = bool(config.get("restore", config.get("trainer", {}).get("restore", False)))
+    state = trainer.fit(state, dm, resume=resume)
+    # test with the BEST checkpoint (reference trainer.test(ckpt_path="best"),
+    # scripts/train_atomic_tensor.py:65)
+    test_state = trainer.restore_best(state) if trainer.has_best() else state
+    metrics = trainer.test(test_state, dm)
+    logger.info("test metrics (best checkpoint): %s", metrics)
     return metrics
 
 

@@ -23,8 +23,9 @@ import yaml
 
 from matten_tpu.data.datamodule import TensorDataModule
 from matten_tpu.models import create_scalar_tensor_model
-from matten_tpu.train import CanonicalRegressionTask, Trainer, TrainerConfig
+from matten_tpu.train import CanonicalRegressionTask, Trainer
 from matten_tpu.train.checkpoint import save_sidecar
+from matten_tpu.train.config import build_mesh_spec, build_trainer_config
 
 from matten_tpu.utils.logging import set_logger
 
@@ -40,26 +41,6 @@ def get_args():
         "config", nargs="?", default=Path(__file__).parent / "configs" / "materials_tensor.yaml"
     )
     return p.parse_args()
-
-
-def build_trainer_config(config: dict) -> TrainerConfig:
-    tr = config.get("trainer", {})
-    opt = config.get("optimizer", {}).get("init_args", {})
-    sched = config.get("lr_scheduler", {}).get("init_args", {})
-    cb = {c.get("class_path", ""): c.get("init_args", {}) for c in tr.get("callbacks", [])}
-    early = next((v for k, v in cb.items() if "EarlyStopping" in k), {})
-    ckpt = next((v for k, v in cb.items() if "ModelCheckpoint" in k), {})
-    return TrainerConfig(
-        max_epochs=tr.get("max_epochs", 10),
-        lr=opt.get("lr", 0.01),
-        weight_decay=opt.get("weight_decay", 1e-5),
-        lr_factor=sched.get("factor", 0.5),
-        lr_patience=sched.get("patience", 50),
-        early_stopping_patience=early.get("patience", 150),
-        save_top_k=ckpt.get("save_top_k", 3),
-        checkpoint_dir=tr.get("checkpoint_dir", "checkpoints"),
-        seed=config.get("seed_everything", 35),
-    )
 
 
 def main(config: dict):
@@ -79,6 +60,19 @@ def main(config: dict):
     dataset_hparams = dm.get_to_model_info()
     logger.info("dataset hand-off: %s", dataset_hparams)
 
+    # multi-chip SPMD from config (trainer.devices / trainer.mesh — the
+    # reference exposes this via Lightning num_nodes/devices/accelerator,
+    # scripts/configs/materials_tensor.yaml:73-76)
+    mesh_spec = build_mesh_spec(config)
+    mesh = None
+    if mesh_spec is not None:
+        mesh = mesh_spec.make_mesh()
+        dm.set_sharding(**mesh_spec.loader_kwargs())
+        logger.info(
+            "mesh: data=%d graph=%d mode=%s",
+            mesh_spec.n_data, mesh_spec.n_graph, mesh_spec.mode,
+        )
+
     # multi-task surface: scalar targets named in the data config get their
     # own 0e heads + weighted loss/metric terms (reference BaseModel
     # multi-task semantics, model/model.py:234-274,398-445)
@@ -91,6 +85,9 @@ def main(config: dict):
         scalar_target_names=scalar_names,
     )
     model_hparams.pop("task_weights", None)
+    if mesh_spec is not None and mesh_spec.n_graph > 1:
+        model_hparams["graph_parallel_axis"] = "graph"
+        model_hparams["graph_parallel_mode"] = mesh_spec.mode
     model = create_scalar_tensor_model(model_hparams, dataset_hparams)
 
     tensor_name = config["data"].get("tensor_target_name", "elastic_tensor_full")
@@ -114,7 +111,13 @@ def main(config: dict):
         )
 
     tcfg = build_trainer_config(config)
-    trainer = Trainer(model, tasks, tcfg)
+    trainer = Trainer(
+        model,
+        tasks,
+        tcfg,
+        mesh=mesh,
+        graph_shard_mode=mesh_spec.mode if mesh_spec is not None else "edge",
+    )
     state = trainer.init_state(next(iter(dm.train_dataloader())), rng_seed=seed)
 
     if tcfg.checkpoint_dir:
@@ -137,8 +140,11 @@ def main(config: dict):
     # resume from the `last` checkpoint with the full loop state
     resume = bool(config.get("restore", config.get("trainer", {}).get("restore", False)))
     state = trainer.fit(state, dm, resume=resume)
-    metrics = trainer.test(state, dm)
-    logger.info("test metrics: %s", metrics)
+    # test with the BEST checkpoint (reference trainer.test(ckpt_path="best"),
+    # scripts/train_materials_tensor.py:65), not the post-plateau final state
+    test_state = trainer.restore_best(state) if trainer.has_best() else state
+    metrics = trainer.test(test_state, dm)
+    logger.info("test metrics (best checkpoint): %s", metrics)
     return metrics
 
 

@@ -153,6 +153,63 @@ class TestTrainer:
         for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_res.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_restore_best_gives_best_epoch_metrics(self, tmp_path):
+        """Testing happens at the BEST checkpoint, not the final state
+        (reference trainer.test(ckpt_path="best"),
+        scripts/train_materials_tensor.py:65): after a run whose val score
+        worsens past the best epoch, restore_best + test reproduces the
+        best epoch's score, not the final epoch's."""
+        rng = np.random.default_rng(11)
+        dm = _FakeDataModule(rng)
+        model = create_scalar_tensor_model(HPARAMS, dm.get_to_model_info())
+        task = CanonicalRegressionTask(name="elastic_tensor_full")
+        # high LR so val score oscillates and the final epoch isn't the best
+        trainer = Trainer(
+            model, [task],
+            TrainerConfig(max_epochs=8, lr=0.2, checkpoint_dir=str(tmp_path / "ck")),
+        )
+        state = trainer.init_state(next(iter(dm.train_dataloader())), rng_seed=0)
+        state = trainer.fit(state, dm)
+        scores = [h["val/score"] for h in trainer.history]
+        best_epoch = int(np.argmin(scores))
+        assert trainer.has_best()
+        best_state = trainer.restore_best(state)
+        # val == test loaders in this fixture, so testing with the restored
+        # state must reproduce the best epoch's recorded score exactly
+        m_best = trainer.test(best_state, dm)
+        np.testing.assert_allclose(m_best["score"], scores[best_epoch], rtol=1e-5)
+        m_final = trainer.test(state, dm)
+        if best_epoch != len(scores) - 1:
+            assert m_best["score"] <= m_final["score"] + 1e-9
+
+    def test_scheduler_none_keeps_lr_constant(self):
+        rng = np.random.default_rng(12)
+        dm = _FakeDataModule(rng)
+        model = create_scalar_tensor_model(HPARAMS, dm.get_to_model_info())
+        task = CanonicalRegressionTask(name="elastic_tensor_full")
+        trainer = Trainer(
+            model, [task],
+            TrainerConfig(max_epochs=4, lr=0.02, scheduler="none", lr_patience=0),
+        )
+        assert trainer.scheduler is None
+        state = trainer.init_state(next(iter(dm.train_dataloader())))
+        trainer.fit(state, dm)
+        assert all(h["lr_scale"] == 1.0 for h in trainer.history)
+
+    def test_adamw_optimizer_trains(self):
+        rng = np.random.default_rng(13)
+        dm = _FakeDataModule(rng)
+        model = create_scalar_tensor_model(HPARAMS, dm.get_to_model_info())
+        task = CanonicalRegressionTask(name="elastic_tensor_full")
+        trainer = Trainer(
+            model, [task],
+            TrainerConfig(max_epochs=4, lr=0.02, optimizer="adamw"),
+        )
+        state = trainer.init_state(next(iter(dm.train_dataloader())))
+        trainer.fit(state, dm)
+        losses = [h["train/loss"] for h in trainer.history]
+        assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
     def test_checkpoint_roundtrip_and_predict(self, tmp_path):
         import jax
 

@@ -74,3 +74,30 @@ class TestWandbStub:
     def test_metadata(self, tmp_path):
         meta = write_running_metadata(str(tmp_path / "meta.json"))
         assert "hostname" in meta and "cwd" in meta
+
+    def test_restore_by_run_identifier(self, tmp_path):
+        """Locate a run's checkpoint dir by its identifier and the latest
+        run's `last` checkpoint (reference utils_wandb.py:99-207)."""
+        from matten_tpu.utils.wandb_utils import (
+            get_wandb_checkpoint_and_identifier_latest,
+            get_wandb_checkpoint_path,
+            get_wandb_identifier,
+            get_wandb_run_path,
+        )
+
+        ckpt = tmp_path / "ckpts"
+        (ckpt / "last").mkdir(parents=True)
+        lg = WandbLogger(project=None, save_dir=str(tmp_path / "logs"),
+                         checkpoint_dir=str(ckpt))
+        lg.finish()
+        rid = lg.run_id
+        assert rid
+        assert get_wandb_identifier(tmp_path / "logs") == rid
+        run_path = get_wandb_run_path(rid, tmp_path)
+        assert run_path.endswith(rid)
+        assert get_wandb_checkpoint_path(rid, tmp_path) == str(ckpt.resolve())
+        last, ident = get_wandb_checkpoint_and_identifier_latest(tmp_path / "logs")
+        assert ident == rid
+        assert last == str(ckpt.resolve() / "last")
+        with pytest.raises(RuntimeError):
+            get_wandb_run_path("nonexistent0", tmp_path)
