@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def build_batch(rng, n_graphs=32, atoms_lo=4, atoms_hi=12):
+def build_batch(rng, n_graphs=32, atoms_lo=4, atoms_hi=12, per_atom=False):
     from matten_tpu.data.datamodule import BatchLoader
     from matten_tpu.data.graph import CrystalGraph
     from matten_tpu.data.structure import Structure
@@ -36,7 +36,10 @@ def build_batch(rng, n_graphs=32, atoms_lo=4, atoms_hi=12):
             atomic_numbers=rng.choice(species, size=n),
         )
         g = CrystalGraph.from_structure(s, r_cut=5.0)
-        g.y["elastic_tensor_full"] = rng.normal(size=(1, 21))
+        if per_atom:
+            g.y["nmr_tensor"] = rng.normal(size=(n, 6))
+        else:
+            g.y["elastic_tensor_full"] = rng.normal(size=(1, 21))
         graphs.append(g)
     smap = atomic_number_map(species)
     loader = BatchLoader(graphs, batch_size=n_graphs, species_map=smap)
@@ -45,65 +48,106 @@ def build_batch(rng, n_graphs=32, atoms_lo=4, atoms_hi=12):
     return data, targets, real_edges, species
 
 
-def main():
-    import jax
+HPARAMS = dict(
+    species_embedding_dim=16,
+    irreps_edge_sh="0e+1o+2e+3o+4e",
+    num_radial_basis=8,
+    radial_basis_start=0.0,
+    radial_basis_end=5.0,
+    radial_basis_type="bessel",
+    num_layers=3,
+    invariant_layers=2,
+    invariant_neurons=32,
+    average_num_neighbors=30.0,
+    conv_layer_irreps="32x0o+32x0e+16x1o+16x1e+4x2o+4x2e+2x3o+2x3e+2x4e",
+    nonlinearity_type="gate",
+    normalization="batch",
+    conv_to_output_hidden_irreps_out="16x0e+2x2e+4e",
+    output_format="irreps",
+    output_formula="ijkl=jikl=klij",
+    reduce="mean",
+)
+
+
+def measure_train_throughput(
+    rng, n_graphs=32, atoms_lo=4, atoms_hi=12, per_atom=False, iters=20
+):
+    """edges/s of the full train step (fwd+bwd+Adam) for one model family.
+
+    NOTE: on the tunneled TPU backend, block_until_ready does not
+    synchronize — a host readback of a scalar is the only reliable fence,
+    so timing uses chained dispatches with a single final readback (the
+    device executes in submission order)."""
     import jax.numpy as jnp
 
-    from matten_tpu.kernels.fused_tp import set_tp_impl
-    from matten_tpu.models import create_scalar_tensor_model
+    from matten_tpu.models import (
+        create_atomic_tensor_model,
+        create_scalar_tensor_model,
+    )
     from matten_tpu.train import CanonicalRegressionTask, Trainer, TrainerConfig
 
-    impl = os.environ.get("MATTEN_TP_IMPL")
-    if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    set_tp_impl(impl)
-
-    rng = np.random.default_rng(0)
-    data, targets, real_edges, species = build_batch(rng)
-
-    hparams = dict(
-        species_embedding_dim=16,
-        irreps_edge_sh="0e+1o+2e+3o+4e",
-        num_radial_basis=8,
-        radial_basis_start=0.0,
-        radial_basis_end=5.0,
-        radial_basis_type="bessel",
-        num_layers=3,
-        invariant_layers=2,
-        invariant_neurons=32,
-        average_num_neighbors=30.0,
-        conv_layer_irreps="32x0o+32x0e+16x1o+16x1e+4x2o+4x2e+2x3o+2x3e+2x4e",
-        nonlinearity_type="gate",
-        normalization="batch",
-        conv_to_output_hidden_irreps_out="16x0e+2x2e+4e",
-        output_format="irreps",
-        output_formula="ijkl=jikl=klij",
-        reduce="mean",
+    data, targets, real_edges, species = build_batch(
+        rng, n_graphs=n_graphs, atoms_lo=atoms_lo, atoms_hi=atoms_hi,
+        per_atom=per_atom,
     )
     ds_hparams = dict(
         allowed_species=list(species), average_num_neighbors=30.0, atom_feats_size=None
     )
-    model = create_scalar_tensor_model(hparams, ds_hparams)
-    task = CanonicalRegressionTask(name="elastic_tensor_full")
+    if per_atom:
+        hp = dict(HPARAMS, output_formula="ij=ji")
+        hp.pop("conv_to_output_hidden_irreps_out")
+        hp.pop("reduce")
+        model = create_atomic_tensor_model(hp, ds_hparams)
+        task = CanonicalRegressionTask(name="nmr_tensor", per_atom=True)
+    else:
+        model = create_scalar_tensor_model(HPARAMS, ds_hparams)
+        task = CanonicalRegressionTask(name="elastic_tensor_full")
     trainer = Trainer(model, [task], TrainerConfig(max_epochs=1, lr=0.01))
     state = trainer.init_state((data, targets))
     data = {k: jnp.asarray(v) for k, v in data.items()}
     targets = {k: jnp.asarray(v) for k, v in targets.items()}
 
-    # warmup / compile. NOTE: on the tunneled TPU backend,
-    # block_until_ready does not synchronize — a host readback of a scalar
-    # is the only reliable fence, so timing uses chained dispatches with a
-    # single final readback (device executes in submission order).
-    state, loss, _ = trainer._train_step(state, data, targets)
+    state, loss, _ = trainer._train_step(state, data, targets)  # compile
     float(loss)
-
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss, _ = trainer._train_step(state, data, targets)
     float(loss)  # fences all queued steps
     dt = time.perf_counter() - t0
-    edges_per_s = real_edges * iters / dt
+    return real_edges * iters / dt, data["pos"].shape[0], real_edges
+
+
+def main():
+    from matten_tpu.kernels.fused_tp import configure_default_tiers
+
+    configure_default_tiers()
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    rng = np.random.default_rng(0)
+    edges_per_s, _, _ = measure_train_throughput(rng, iters=iters)
+
+    # secondary measurements (stderr; the driver's ONE stdout JSON line is
+    # the flagship number): a large chunk-aligned batch and the per-atom
+    # (NMR) model family
+    if os.environ.get("BENCH_EXTRA"):
+        big, n_big, e_big = measure_train_throughput(
+            np.random.default_rng(1), n_graphs=128, atoms_lo=8, atoms_hi=14,
+            iters=max(iters // 2, 5),
+        )
+        print(
+            f"# extra large-batch elasticity ({n_big} padded nodes, "
+            f"{e_big} real edges): {big:.0f} edges/s",
+            file=sys.stderr,
+        )
+        nmr, n_nmr, e_nmr = measure_train_throughput(
+            np.random.default_rng(2), n_graphs=16, atoms_lo=4, atoms_hi=12,
+            per_atom=True, iters=iters,
+        )
+        print(
+            f"# extra per-atom NMR ({n_nmr} padded nodes, {e_nmr} real "
+            f"edges): {nmr:.0f} edges/s",
+            file=sys.stderr,
+        )
 
     # ratio vs the latest recorded round, if any
     vs = 1.0

@@ -32,14 +32,11 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import build_batch
-    from matten_tpu.kernels.fused_tp import set_tp_impl
+    from matten_tpu.kernels.fused_tp import configure_default_tiers
     from matten_tpu.models import create_scalar_tensor_model
     from matten_tpu.train import CanonicalRegressionTask, Trainer, TrainerConfig
 
-    impl = os.environ.get("MATTEN_TP_IMPL")
-    if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    set_tp_impl(impl)
+    impl = configure_default_tiers()
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 
     rng = np.random.default_rng(0)

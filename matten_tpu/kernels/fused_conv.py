@@ -44,7 +44,14 @@ import numpy as np
 from matten_tpu.ops.tensor_product import TensorProductPlan
 from matten_tpu.ops.wigner import wigner_3j
 
-__all__ = ["fused_uvu_conv", "EdgeChunks", "NODE_CHUNK", "EDGE_BLOCK"]
+__all__ = [
+    "fused_uvu_conv",
+    "fused_uvu_conv_t",
+    "EdgeChunks",
+    "NODE_CHUNK",
+    "EDGE_BLOCK",
+    "RESIDENT_NODES_MAX",
+]
 
 
 def _interpret_params(interpret: bool):
@@ -76,14 +83,15 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 # Default node-chunk / edge-block geometry for the chunk-aligned layout.
-# With the raised VMEM limit a SINGLE [D_out, N] accumulator serves the
-# production plan to N ~ 1500 with no alignment or node-rounding overhead,
-# so collation only switches to chunking above CHUNK_THRESHOLD_NODES;
-# beyond it, [D_out=4170, 512] chunks + [D_out, 256] message scratch +
-# double-buffered input blocks stay well inside the 64 MB budget.
-NODE_CHUNK = 512
+# A single [D_out, N] accumulator serves the production plan to N ~ 500
+# (the v2 kernels double-buffer the output chunk AND carry the backward's
+# chunk-indexed cotangent block); collation switches to chunking above
+# CHUNK_THRESHOLD_NODES. C = 128 is the Mosaic lane-granularity floor —
+# smaller output chunks are rejected (last block dim must be a multiple of
+# 128) and larger ones only grow the one-hot aggregation FLOPs.
+NODE_CHUNK = 128
 EDGE_BLOCK = 256
-CHUNK_THRESHOLD_NODES = 1024
+CHUNK_THRESHOLD_NODES = 512
 
 
 class EdgeChunks(NamedTuple):
@@ -172,6 +180,7 @@ def _build_call(
     chunk: int,
     interpret: bool,
     transpose: bool = False,
+    agg_dtype: str = "float32",
 ):
     """Fused TP + chunked aggregation kernel.
 
@@ -219,10 +228,13 @@ def _build_call(
             out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
         # destination one-hot [block, chunk] for the aggregation matmul
-        # (chunk-local ids; rows outside [0, chunk) vanish — fill edges)
+        # (chunk-local ids; rows outside [0, chunk) vanish — fill edges).
+        # bf16 operands run the dominant MXU contraction ~4x faster; the
+        # one-hot is exact in bf16 and accumulation stays f32.
+        adt = jnp.bfloat16 if agg_dtype == "bfloat16" else jnp.float32
         dst = dst_ref[:, 0:1] - own * chunk  # [block, 1] int32
         node_ids = jax.lax.broadcasted_iota(jnp.int32, (block, chunk), 1)
-        onehot = (node_ids == dst).astype(jnp.float32)  # [block, C]
+        onehot = (node_ids == dst).astype(adt)  # [block, C]
 
         # one CG matmul per SH degree: t_all rows cover every path's d1*d3
         ts = {}
@@ -261,7 +273,7 @@ def _build_call(
         # single aggregation matmul: [Dout, B] @ [B, C] accumulated over the
         # blocks owned by this chunk
         out_ref[:, :] += jnp.dot(
-            msg_ref[:, :], onehot, preferred_element_type=jnp.float32
+            msg_ref[:, :].astype(adt), onehot, preferred_element_type=jnp.float32
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -281,9 +293,12 @@ def _build_call(
         ),
         scratch_shapes=[pltpu.VMEM((dout, block), jnp.float32)],
     )
-    c_arr = jnp.asarray(c_all)
 
     def run(own, xT, shT, wT, dst):
+        # convert the CG table inside the (possibly traced) call — a module
+        # -level jnp constant created during one jit trace and reused from
+        # the lru cache in another raises UnexpectedTracerError
+        c_arr = jnp.asarray(c_all)
         # under a vma-checked shard_map the output must declare which mesh
         # axes it varies over: the union of the (per-shard) inputs'
         vma = frozenset().union(
@@ -349,9 +364,8 @@ def _build_dw_call(
                 w0 = m["w_start"] + u
                 wg_ref[w0 : w0 + 1, :] = jnp.sum(acc * gu, axis=0, keepdims=True)
 
-    c_arr = jnp.asarray(c_all)
-
     def run(xT, shT, gT):
+        c_arr = jnp.asarray(c_all)  # per-trace constant (see _build_call)
         vma = frozenset().union(
             *(getattr(jax.typeof(a), "vma", frozenset()) for a in (xT, shT, gT))
         )
@@ -425,7 +439,12 @@ def _make_fn(plan: TensorProductPlan, block: int, n_out: int, interpret: bool):
         # padded edges carry zero sh/w -> zero message; point at node 0
         dst_c = jnp.pad(dst.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)])
         own = jnp.zeros(e_pad // blk, dtype=jnp.int32)
-        call = _build_call(plan, e_pad, n_out, blk, n_out, interpret)
+        from matten_tpu.kernels.fused_tp import get_agg_matmul_dtype
+
+        call = _build_call(
+            plan, e_pad, n_out, blk, n_out, interpret,
+            agg_dtype=get_agg_matmul_dtype(),
+        )
         aggT = call(own, xTg, shT, wT, dst_c)
         return aggT.T.astype(x_nodes.dtype)
 
@@ -451,7 +470,12 @@ def _make_fn(plan: TensorProductPlan, block: int, n_out: int, interpret: bool):
         own = jnp.zeros(e_pad // blk, dtype=jnp.int32)
 
         # dx: the transposed plan scattered into SOURCE nodes
-        dx_call = _build_call(plan, e_pad, n_in, blk, n_in, interpret, transpose=True)
+        from matten_tpu.kernels.fused_tp import get_agg_matmul_dtype
+
+        dx_call = _build_call(
+            plan, e_pad, n_in, blk, n_in, interpret, transpose=True,
+            agg_dtype=get_agg_matmul_dtype(),
+        )
         dxT = dx_call(own, gTg, shT, wT, src_c)
         dx = dxT.T.astype(x_nodes.dtype)
 
@@ -501,7 +525,12 @@ def _make_chunked_fn(
         shT = sh.T.astype(idt)
         wT = w.T.astype(idt)
         dst_c = dst.astype(jnp.int32).reshape(-1, 1)
-        call = _build_call(plan, e, n_out, block, chunk, interpret)
+        from matten_tpu.kernels.fused_tp import get_agg_matmul_dtype
+
+        call = _build_call(
+            plan, e, n_out, block, chunk, interpret,
+            agg_dtype=get_agg_matmul_dtype(),
+        )
         aggT = call(dst_owner, xTg, shT, wT, dst_c)
         return aggT.T.astype(x_nodes.dtype)
 
@@ -525,8 +554,11 @@ def _make_chunked_fn(
         shT_p = sh.T[:, src_perm].astype(idt)
         wT_p = w.T[:, src_perm].astype(idt)
         src_c = srcp.astype(jnp.int32).reshape(-1, 1)
+        from matten_tpu.kernels.fused_tp import get_agg_matmul_dtype
+
         dx_call = _build_call(
-            plan, int(src_perm.shape[0]), n_in, block, chunk, interpret, transpose=True
+            plan, int(src_perm.shape[0]), n_in, block, chunk, interpret,
+            transpose=True, agg_dtype=get_agg_matmul_dtype(),
         )
         dxT = dx_call(src_owner, gTg_p, shT_p, wT_p, src_c)
         dx = dxT.T.astype(x_nodes.dtype)
@@ -615,3 +647,460 @@ def fused_uvu_conv(
     if not (fits_vmem(plan, n_out, block) and dx_fits):
         return _reference(plan, x_nodes, sh, w, src, dst, n_out)
     return _make_fn(plan, block, n_out, interpret)(x_nodes, sh, w, src, dst)
+
+
+# ---------------------------------------------------------------------------
+# v2: resident-node kernels — in-kernel one-hot gathers + merged dx/dw bwd
+# ---------------------------------------------------------------------------
+# Measured on v5e (DEVNOTES): the v1 kernels are bandwidth-bound on the
+# XLA-side data preparation, not MXU-bound — the [D1, E] source-feature
+# gather, the [E, Dw] radial-weight transpose and above all the backward's
+# [Dout, E] cotangent gather (~409 MB per layer at the bench batch)
+# dominate. v2 eliminates all three:
+#   * node features stay RESIDENT in VMEM ([D1, N] whole-array input) and
+#     are gathered per edge block by a one-hot matmul on the MXU;
+#   * radial weights arrive natively transposed ([Dw, E]) from the
+#     transposed ScalarMLP, and the w cotangent leaves transposed;
+#   * the backward is ONE kernel over the dst-sorted layout: the output
+#     cotangent rides as a chunk-indexed INPUT block (free gather — the
+#     same owner map as the forward output), dx accumulates into a
+#     resident [D1, N_in] whole-array output via a one-hot scatter matmul
+#     (sharing the src one-hot with the x gather), and dw shares the loads.
+# Applicable while the node arrays fit VMEM (RESIDENT_NODES_MAX); larger
+# batches fall back to the v1 src-sorted chunked machinery.
+
+RESIDENT_NODES_MAX = 2048
+SINGLE_ACC_MAX = 1024  # v2 without collation chunk fields (own = zeros)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fwd2(
+    plan: TensorProductPlan,
+    n_edges: int,
+    n_in: int,
+    n_out: int,
+    block: int,
+    chunk: int,
+    interpret: bool,
+    mm_dtype: str,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n_out % chunk == 0 and n_edges % block == 0
+    metas, c_all, _ = _plan_metas(plan)
+    d1 = plan.irreps_in1.dim
+    d2 = plan.irreps_in2.dim
+    dw = plan.weight_numel
+    dout = plan.irreps_out.dim
+    grid = (n_edges // block,)
+    mdt = jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32
+
+    groups = {}
+    for idx, m in enumerate(metas):
+        groups.setdefault((m["sh_sl"].start, m["sh_sl"].stop), []).append(idx)
+
+    def kernel(own_ref, xall_ref, shT_ref, wT_ref, src_ref, dst_ref, c_ref,
+               out_ref, msg_ref):
+        i = pl.program_id(0)
+        own = own_ref[i]
+        prev = own_ref[jnp.maximum(i - 1, 0)]
+
+        @pl.when((i == 0) | (own != prev))
+        def _():
+            out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        # source one-hot gather: xg[d1, B] = x_all @ (iota_n == src)
+        src_row = src_ref[0:1, :]  # [1, B] int32
+        n_iota = jax.lax.broadcasted_iota(jnp.int32, (n_in, block), 0)
+        oh_src = (n_iota == src_row).astype(mdt)
+        xg = jnp.dot(
+            xall_ref[:, :].astype(mdt), oh_src,
+            preferred_element_type=jnp.float32,
+        )
+
+        dst = dst_ref[:, 0:1] - own * chunk
+        node_ids = jax.lax.broadcasted_iota(jnp.int32, (block, chunk), 1)
+        oh_dst = (node_ids == dst).astype(mdt)
+
+        ts = {}
+        for (a, b), idxs in groups.items():
+            y = shT_ref[a:b, :].astype(jnp.float32)
+            r0 = metas[idxs[0]]["c_sl"].start
+            r1 = metas[idxs[-1]]["c_sl"].stop
+            cg = c_ref[r0:r1, : (b - a)]
+            ts[(a, b)] = (jnp.dot(cg, y, preferred_element_type=jnp.float32), r0)
+
+        for m in metas:
+            mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
+            t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
+            tb = m["c_sl"].start - r0
+            for u in range(mul):
+                x0 = m["x_start"] + u * pd1
+                xu = xg[x0 : x0 + pd1, :]
+                acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
+                for m1 in range(1, pd1):
+                    acc = acc + (
+                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                        * xu[m1 : m1 + 1, :]
+                    )
+                w0 = m["w_start"] + u
+                o0 = m["o_start"] + u * pd3
+                msg_ref[o0 : o0 + pd3, :] = acc * wT_ref[w0 : w0 + 1, :].astype(
+                    jnp.float32
+                )
+
+        out_ref[:, :] += jnp.dot(
+            msg_ref[:, :].astype(mdt), oh_dst, preferred_element_type=jnp.float32
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d1, n_in), lambda i, own: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2, block), lambda i, own: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dw, block), lambda i, own: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i, own: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i, own: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_all.shape, lambda i, own: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (dout, chunk), lambda i, own: (0, own[i]), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((dout, block), jnp.float32)],
+    )
+
+    def run(own, xall, shT, wT, src_row, dst_col):
+        c_arr = jnp.asarray(c_all)  # per-trace constant (see _build_call)
+        vma = frozenset().union(
+            *(getattr(jax.typeof(a), "vma", frozenset()) for a in (xall, shT, wT))
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((dout, n_out), jnp.float32, vma=vma),
+            interpret=_interpret_params(interpret),
+            compiler_params=_compiler_params(),
+        )
+        return call(own, xall, shT, wT, src_row, dst_col, c_arr)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bwd2(
+    plan: TensorProductPlan,
+    n_edges: int,
+    n_in: int,
+    n_out: int,
+    block: int,
+    chunk: int,
+    interpret: bool,
+    mm_dtype: str,
+):
+    """Merged backward: ONE pass over the dst-sorted edge blocks emitting
+    dxT [d1, n_in] (resident accumulated output; one-hot scatter shares the
+    src one-hot with the x gather) and dwT [dw, E] (per-block columns).
+    The output cotangent gT is a chunk-indexed input — the same owner map
+    that drives the forward's output blocks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n_out % chunk == 0 and n_edges % block == 0
+    metas, c_all, _ = _plan_metas(plan)
+    metas_t, c_all_t, _ = _plan_metas(plan, transpose=True)
+    d1 = plan.irreps_in1.dim
+    d2 = plan.irreps_in2.dim
+    dw = plan.weight_numel
+    dout = plan.irreps_out.dim
+    grid = (n_edges // block,)
+    mdt = jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32
+
+    def grp(ms):
+        g = {}
+        for idx, m in enumerate(ms):
+            g.setdefault((m["sh_sl"].start, m["sh_sl"].stop), []).append(idx)
+        return g
+
+    groups, groups_t = grp(metas), grp(metas_t)
+
+    def kernel(own_ref, xall_ref, gT_ref, shT_ref, wT_ref, src_ref, dst_ref,
+               c_ref, ct_ref, dx_ref, dwT_ref, dmsg_ref):
+        i = pl.program_id(0)
+        own = own_ref[i]
+
+        @pl.when(i == 0)
+        def _():
+            dx_ref[:, :] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+
+        # shared one-hots: src (gather x / scatter dx), dst-local (gather g)
+        src_row = src_ref[0:1, :]
+        n_iota = jax.lax.broadcasted_iota(jnp.int32, (n_in, block), 0)
+        oh_src = (n_iota == src_row).astype(mdt)  # [n_in, B]
+        dst_loc = dst_ref[0:1, :] - own * chunk  # [1, B]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, block), 0)
+        oh_g = (c_iota == dst_loc).astype(mdt)  # [C, B]
+
+        xg = jnp.dot(xall_ref[:, :].astype(mdt), oh_src,
+                     preferred_element_type=jnp.float32)  # [d1, B]
+        gblk = jnp.dot(gT_ref[:, :].astype(mdt), oh_g,
+                       preferred_element_type=jnp.float32)  # [dout, B]
+
+        def cg_ts(gps, ms, cref):
+            out = {}
+            for (a, b), idxs in gps.items():
+                y = shT_ref[a:b, :].astype(jnp.float32)
+                r0 = ms[idxs[0]]["c_sl"].start
+                r1 = ms[idxs[-1]]["c_sl"].stop
+                out[(a, b)] = (
+                    jnp.dot(cref[r0:r1, : (b - a)], y,
+                            preferred_element_type=jnp.float32),
+                    r0,
+                )
+            return out
+
+        ts = cg_ts(groups, metas, c_ref)
+        ts_t = cg_ts(groups_t, metas_t, ct_ref)
+
+        # dw: recompute the forward accumulators from xg, inner-product with g
+        for m in metas:
+            mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
+            t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
+            tb = m["c_sl"].start - r0
+            for u in range(mul):
+                x0 = m["x_start"] + u * pd1
+                xu = xg[x0 : x0 + pd1, :]
+                acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
+                for m1 in range(1, pd1):
+                    acc = acc + (
+                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                        * xu[m1 : m1 + 1, :]
+                    )
+                o0 = m["o_start"] + u * pd3
+                gu = gblk[o0 : o0 + pd3, :]
+                w0 = m["w_start"] + u
+                dwT_ref[w0 : w0 + 1, :] = jnp.sum(acc * gu, axis=0, keepdims=True)
+
+        # dx: transposed-plan assembly from g rows, scatter into src columns
+        dmsg_ref[:, :] = jnp.zeros(dmsg_ref.shape, dmsg_ref.dtype)
+        for m in metas_t:
+            mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
+            t_all, r0 = ts_t[(m["sh_sl"].start, m["sh_sl"].stop)]
+            tb = m["c_sl"].start - r0
+            for u in range(mul):
+                x0 = m["x_start"] + u * pd1
+                gu = gblk[x0 : x0 + pd1, :]
+                acc = t_all[tb : tb + pd3, :] * gu[0:1, :]
+                for m1 in range(1, pd1):
+                    acc = acc + (
+                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                        * gu[m1 : m1 + 1, :]
+                    )
+                w0 = m["w_start"] + u
+                o0 = m["o_start"] + u * pd3
+                dmsg_ref[o0 : o0 + pd3, :] += acc * wT_ref[w0 : w0 + 1, :].astype(
+                    jnp.float32
+                )
+
+        # scatter-accumulate: dxT += dmsg @ oh_src^T  (NT matmul)
+        dx_ref[:, :] += jax.lax.dot_general(
+            dmsg_ref[:, :].astype(mdt),
+            oh_src,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d1, n_in), lambda i, own: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (dout, chunk), lambda i, own: (0, own[i]), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((d2, block), lambda i, own: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dw, block), lambda i, own: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i, own: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i, own: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(c_all.shape, lambda i, own: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                c_all_t.shape, lambda i, own: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((d1, n_in), lambda i, own: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dw, block), lambda i, own: (0, i), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((d1, block), jnp.float32)],
+    )
+
+    def run(own, xall, gT, shT, wT, src_row, dst_row):
+        c_arr = jnp.asarray(c_all)
+        ct_arr = jnp.asarray(c_all_t)
+        vma = frozenset().union(
+            *(
+                getattr(jax.typeof(a), "vma", frozenset())
+                for a in (xall, gT, shT, wT)
+            )
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((d1, n_in), jnp.float32, vma=vma),
+                jax.ShapeDtypeStruct((dw, n_edges), jnp.float32, vma=vma),
+            ],
+            interpret=_interpret_params(interpret),
+            compiler_params=_compiler_params(),
+        )
+        return call(own, xall, gT, shT, wT, src_row, dst_row, c_arr, ct_arr)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fn2(
+    plan: TensorProductPlan,
+    block: int,
+    n_in: int,
+    n_out: int,
+    chunk: int,
+    interpret: bool,
+    mm_dtype: str,
+):
+    """v2 custom_vjp: transposed radial weights in/out, merged backward.
+
+    Signature: fused(x_nodes [N_in, d1], sh [E, d2], wT [dw, E], src, dst,
+    own [E/block]) — `own` is the dst-chunk owner map (all zeros with
+    chunk == n_out for the single-accumulator layout)."""
+
+    def _prep(e):
+        blk = min(block, e)
+        e_pad = int(np.ceil(e / blk)) * blk
+        return blk, e_pad
+
+    def _pad_rows(a, e, e_pad):
+        return a if e_pad == e else jnp.pad(a, [(0, 0), (0, e_pad - e)])
+
+    @jax.custom_vjp
+    def fused(x_nodes, sh, wT, src, dst, own):
+        e = sh.shape[0]
+        blk, e_pad = _prep(e)
+        xall = x_nodes.T.astype(jnp.float32)
+        shT = _pad_rows(sh.T.astype(jnp.float32), e, e_pad)
+        wTp = _pad_rows(wT.astype(jnp.float32), e, e_pad)
+        src_row = _pad_rows(src.astype(jnp.int32).reshape(1, -1), e, e_pad)
+        dst_col = jnp.pad(
+            dst.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)]
+        )
+        call = _build_fwd2(plan, e_pad, n_in, n_out, blk, chunk, interpret, mm_dtype)
+        aggT = call(own, xall, shT, wTp, src_row, dst_col)
+        return aggT.T.astype(x_nodes.dtype)
+
+    def fwd(x_nodes, sh, wT, src, dst, own):
+        return fused(x_nodes, sh, wT, src, dst, own), (x_nodes, sh, wT, src, dst, own)
+
+    def bwd(res, g):
+        x_nodes, sh, wT, src, dst, own = res
+        e = sh.shape[0]
+        blk, e_pad = _prep(e)
+        xall = x_nodes.T.astype(jnp.float32)
+        gT = g.T.astype(jnp.float32)
+        shT = _pad_rows(sh.T.astype(jnp.float32), e, e_pad)
+        wTp = _pad_rows(wT.astype(jnp.float32), e, e_pad)
+        src_row = _pad_rows(src.astype(jnp.int32).reshape(1, -1), e, e_pad)
+        dst_row = _pad_rows(dst.astype(jnp.int32).reshape(1, -1), e, e_pad)
+        call = _build_bwd2(plan, e_pad, n_in, n_out, blk, chunk, interpret, mm_dtype)
+        dxT, dwT = call(own, xall, gT, shT, wTp, src_row, dst_row)
+        dx = dxT.T.astype(x_nodes.dtype)
+        dw = dwT[:, :e].astype(wT.dtype)
+
+        # dsh via the XLA composition (dead code unless positions are
+        # differentiated — this model family predicts tensors, not forces)
+        _, vjp_sh = jax.vjp(
+            lambda s: _reference(plan, x_nodes, s, wT.T, src, dst, g.shape[0]), sh
+        )
+        (dsh,) = vjp_sh(g)
+        return (
+            _match_vma(dx, x_nodes),
+            _match_vma(dsh, sh),
+            _match_vma(dw, wT),
+            None,
+            None,
+            None,
+        )
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def _v2_vmem_ok(plan: TensorProductPlan, n_in: int, n_out: int, chunk: int,
+                block: int) -> bool:
+    """VMEM budget of the v2 kernels: resident x_all + dx + the blocked
+    operands, with headroom for one-hot temporaries and semaphores."""
+    d1 = plan.irreps_in1.dim
+    d2 = plan.irreps_in2.dim
+    dw = plan.weight_numel
+    dout = plan.irreps_out.dim
+    resident = d1 * n_in * 2  # x_all + dxT
+    blocks = 2 * (d2 + dw + 2) * block + dout * block * 2  # dbl-buffered + msg
+    chunks_b = 2 * dout * chunk * 2  # fwd out + bwd gT (double-buffered)
+    onehots = (n_in + chunk) * block
+    total = 4 * (resident + blocks + chunks_b + onehots)
+    return total < int(0.7 * _VMEM_LIMIT_BYTES)
+
+
+def fused_uvu_conv_t(
+    plan: TensorProductPlan,
+    x_nodes: jnp.ndarray,
+    sh: jnp.ndarray,
+    wT: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    chunks: Optional[EdgeChunks] = None,
+    num_nodes_out: Optional[int] = None,
+    block: int = EDGE_BLOCK,
+    node_chunk: int = NODE_CHUNK,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """fused_uvu_conv with natively transposed radial weights (wT [dw, E]).
+
+    Dispatches to the v2 resident-node kernels when the node arrays fit
+    VMEM (including halo-gathered inputs with n_in != n_out); larger
+    batches fall back to the v1 machinery/XLA via `fused_uvu_conv`."""
+    if interpret is None:
+        from matten_tpu.kernels import fused_tp
+
+        interpret = fused_tp._INTERPRET
+    from matten_tpu.kernels.fused_tp import get_agg_matmul_dtype
+
+    mm_dtype = get_agg_matmul_dtype()
+    n_out = int(num_nodes_out) if num_nodes_out is not None else x_nodes.shape[0]
+    n_in = x_nodes.shape[0]
+    e = sh.shape[0]
+    if n_in <= RESIDENT_NODES_MAX:
+        if (
+            chunks is not None
+            and n_out % node_chunk == 0
+            and n_out > node_chunk
+            and e % block == 0
+            and _v2_vmem_ok(plan, n_in, n_out, node_chunk, block)
+        ):
+            return _make_fn2(
+                plan, block, n_in, n_out, node_chunk, interpret, mm_dtype
+            )(x_nodes, sh, wT, src, dst, chunks.dst_owner)
+        if n_out <= SINGLE_ACC_MAX and _v2_vmem_ok(
+            plan, n_in, n_out, n_out, block
+        ):
+            blk = min(block, e)
+            e_pad = int(np.ceil(e / blk)) * blk
+            own = jnp.zeros(e_pad // blk, dtype=jnp.int32)
+            return _make_fn2(plan, block, n_in, n_out, n_out, interpret, mm_dtype)(
+                x_nodes, sh, wT, src, dst, own
+            )
+    return fused_uvu_conv(
+        plan, x_nodes, sh, wT.T, src, dst,
+        chunks=chunks, num_nodes_out=num_nodes_out,
+        block=block, node_chunk=node_chunk, interpret=interpret,
+    )

@@ -47,3 +47,51 @@ def set_kernel_in_dtype(name: str) -> None:
 
 def get_kernel_in_dtype() -> str:
     return _KERNEL_IN_DTYPE
+
+
+_AGG_MATMUL_DTYPE = "float32"  # "float32" | "bfloat16"
+
+
+def set_agg_matmul_dtype(name: str) -> None:
+    """Operand dtype of the in-kernel aggregation (one-hot) matmul.
+
+    The segment-sum-as-dense-matmul contraction is the kernel's dominant
+    MXU cost; bf16 operands run it at ~4x the f32 rate (accumulation stays
+    f32 via preferred_element_type). The one-hot factor is exact in bf16,
+    so the only rounding is one bf16 quantization of each message —
+    mixed-precision-activation-level noise. f32 default keeps kernel==XLA
+    parity tests exact."""
+    global _AGG_MATMUL_DTYPE
+    assert name in ("float32", "bfloat16"), name
+    _AGG_MATMUL_DTYPE = name
+
+
+def get_agg_matmul_dtype() -> str:
+    return _AGG_MATMUL_DTYPE
+
+
+def configure_default_tiers() -> str:
+    """Entry-point tier selection (bench, train scripts, predict):
+
+      MATTEN_TP_IMPL  = pallas | xla   (default: pallas on TPU, xla off-TPU)
+      MATTEN_AGG_DTYPE = bfloat16 | float32
+          (default: bfloat16 with the pallas tier — the kernels' one-hot
+          gather/scatter/aggregation matmuls run ~4x faster on the MXU and
+          f32 Mosaic compiles of the merged backward are pathologically
+          slow; float32 otherwise)
+
+    Returns the selected impl. Tests bypass this (module defaults stay
+    xla/float32 for exact parity)."""
+    import os
+
+    import jax
+
+    impl = os.environ.get("MATTEN_TP_IMPL")
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    set_tp_impl(impl)
+    agg = os.environ.get("MATTEN_AGG_DTYPE")
+    if agg is None:
+        agg = "bfloat16" if impl == "pallas" else "float32"
+    set_agg_matmul_dtype(agg)
+    return impl

@@ -138,10 +138,26 @@ class PointConv(nn.Module):
             + self.fc_num_hidden_layers * [self.fc_hidden_size]
             + [uvu_plan.weight_numel]
         )
-        edge_weights = ScalarMLP(hs=tuple(hs), act="silu", name="radial_mlp")(edge_emb)
+        radial_mlp = ScalarMLP(hs=tuple(hs), act="silu", name="radial_mlp")
 
         initializing = self.is_initializing()
         from matten_tpu.kernels.fused_tp import get_tp_impl
+
+        # the fused kernels consume feature-major ([dw, E]) radial weights;
+        # producing them natively (transposed MLP, identical parameters)
+        # avoids transposing the widest per-edge array in HBM twice per
+        # layer (fwd + the dw cotangent)
+        transposed_w = (
+            get_tp_impl() == "pallas"
+            and not (
+                self.graph_axis is not None and self.graph_shard_mode == "node_ring"
+            )
+        )
+        if transposed_w:
+            edge_weights_t = radial_mlp(edge_emb.T, transposed=True)
+            edge_weights = None
+        else:
+            edge_weights = radial_mlp(edge_emb)
 
         if (
             self.graph_axis is not None
@@ -217,7 +233,10 @@ class PointConv(nn.Module):
                 # (nodes replicated, dst global, partials psum'd after lin2)
                 # and node-sharded (src indexes the halo-gathered features,
                 # dst and the output are shard-local).
-                from matten_tpu.kernels.fused_conv import EdgeChunks, fused_uvu_conv
+                from matten_tpu.kernels.fused_conv import (
+                    EdgeChunks,
+                    fused_uvu_conv_t,
+                )
 
                 chunks = None
                 kw = {}
@@ -230,11 +249,11 @@ class PointConv(nn.Module):
                     # collation's chunk geometry is shape-encoded
                     kw["node_chunk"] = num_nodes // data[K.EDGE_CHUNK_TAG].shape[0]
                     kw["block"] = src.shape[0] // chunks.dst_owner.shape[0]
-                agg = fused_uvu_conv(
+                agg = fused_uvu_conv_t(
                     uvu_plan,
                     feats_src,
                     edge_attrs,
-                    edge_weights,
+                    edge_weights_t,
                     src,
                     dst,
                     chunks=chunks,

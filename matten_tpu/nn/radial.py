@@ -126,13 +126,21 @@ class ScalarMLP(nn.Module):
     act: str = "ssp"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, transposed: bool = False) -> jnp.ndarray:
+        """transposed=True computes the SAME function in [features, batch]
+        layout (input [in, E] -> output [out, E]; identical parameters):
+        the fused conv kernel consumes feature-major edge arrays, and
+        producing them natively avoids transposing the wide [E, out]
+        radial-weight array (~2 x out x E x 4 bytes of HBM per layer)."""
         act = normalize2mom(self.act)
         n = len(self.hs) - 1
         for i in range(n):
             d_in, d_out = self.hs[i], self.hs[i + 1]
             w = self.param(f"w{i}", normal_initializer(1.0), (d_in, d_out))
-            x = x @ w.astype(x.dtype) / np.sqrt(d_in)
+            if transposed:
+                x = (w.astype(x.dtype).T @ x) / np.sqrt(d_in)
+            else:
+                x = x @ w.astype(x.dtype) / np.sqrt(d_in)
             if i < n - 1:
                 x = act(x)
         return x

@@ -39,16 +39,11 @@ def get_args():
 
 
 def main(config: dict):
-    import os
-
-    import jax
-
-    from matten_tpu.kernels.fused_tp import set_tp_impl
+    from matten_tpu.kernels.fused_tp import configure_default_tiers
 
     seed = config.get("seed_everything", 35)
     np.random.seed(seed)
-    impl = os.environ.get("MATTEN_TP_IMPL")
-    set_tp_impl(impl or ("pallas" if jax.default_backend() == "tpu" else "xla"))
+    configure_default_tiers()
 
     dm = TensorDataModule(**config["data"], seed=seed)
     dm.setup()

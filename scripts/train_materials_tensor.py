@@ -47,13 +47,11 @@ def main(config: dict):
     seed = config.get("seed_everything", 35)
     np.random.seed(seed)
 
-    # kernel tier: MATTEN_TP_IMPL=pallas|xla (default: pallas on TPU)
-    import jax
+    # kernel tier: MATTEN_TP_IMPL=pallas|xla (default: pallas on TPU),
+    # matmul dtype: MATTEN_AGG_DTYPE (default bf16 with pallas)
+    from matten_tpu.kernels.fused_tp import configure_default_tiers
 
-    from matten_tpu.kernels.fused_tp import set_tp_impl
-
-    impl = os.environ.get("MATTEN_TP_IMPL")
-    set_tp_impl(impl or ("pallas" if jax.default_backend() == "tpu" else "xla"))
+    configure_default_tiers()
 
     dm = TensorDataModule(**config["data"], seed=seed)
     dm.setup()
