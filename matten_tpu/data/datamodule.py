@@ -87,7 +87,10 @@ class BatchLoader:
         else:
             # explicit chunk size: engage as soon as one chunk overflows
             self._chunk_threshold = node_chunk or CHUNK_THRESHOLD_NODES
-        self._node_chunk = node_chunk if num_edge_shards == 1 else None
+        # graph-sharded layouts chunk-align each shard's edge slice after
+        # sharding (_align_shards); the ring layout has its own slot
+        # grouping and never chunks
+        self._node_chunk = None if ring else node_chunk
 
         # worst-case bucket: the k largest graphs in one (sub-)batch
         sizes = np.sort(np.array([g.num_nodes for g in self.graphs]))[::-1]
@@ -158,6 +161,18 @@ class BatchLoader:
         n_pad = self._round(n + 1, self.node_multiple)
         e_pad = self._round(max(e, 1), self.edge_multiple)
         node_chunk = self._node_chunk
+        sg = self.num_edge_shards
+        if node_chunk is not None and sg > 1:
+            # graph-sharded layouts: chunk alignment happens per shard after
+            # splitting (_align_shards); here only make the shapes
+            # shard/chunk-compatible when alignment will engage
+            e_pad = self._round(e_pad, sg)
+            if self.node_shard:
+                if self._round(n_pad, sg) // sg > self._chunk_threshold:
+                    n_pad = self._round(n_pad, sg * node_chunk)
+            elif n_pad > self._chunk_threshold:
+                n_pad = self._round(n_pad, node_chunk)
+            return PadSpec(n_pad, e_pad, per_shard)
         if node_chunk is not None and n_pad > self._chunk_threshold:
             from matten_tpu.kernels.fused_conv import EDGE_BLOCK
 
@@ -268,6 +283,52 @@ class BatchLoader:
                 targets[key] = v.reshape((sg, c) + v.shape[1:])
         return data, targets
 
+    def _align_shards(self, data: Dict) -> Dict:
+        """Per-shard chunk alignment for graph-sharded layouts.
+
+        Each shard's dst-sorted (edge mode) or dst-local (node mode) edge
+        slice is re-grouped by destination node chunk so the fused kernel's
+        chunked accumulator stays active under graph parallelism (round-2
+        verdict weak #3: large sharded batches silently reverted to the XLA
+        tier). Node mode skips the src-sorted view — src ids index the
+        halo-gathered global array and the v2 merged backward scatters dx
+        into a resident accumulator instead."""
+        ck = self._node_chunk
+        if ck is None or self.ring:
+            return data
+        from matten_tpu.kernels.fused_conv import EDGE_BLOCK
+
+        sg = self.num_edge_shards
+        if self.node_shard:
+            n_dst = data["pos"].shape[1]  # [Sg, c, 3] local chunk
+            src_view = False
+        else:
+            n_dst = data["pos"].shape[0]  # nodes replicated
+            src_view = True
+        if n_dst <= self._chunk_threshold or n_dst % ck != 0:
+            return data
+        from matten_tpu.data.graph import chunk_align_edges
+
+        e_s = data["edge_index"].shape[-1]
+        cap = self._round(e_s, EDGE_BLOCK) + (n_dst // ck) * EDGE_BLOCK
+        outs = [
+            chunk_align_edges(
+                data["edge_index"][s],
+                data["edge_cell_shift"][s],
+                data["edge_mask"][s],
+                n_dst,
+                ck,
+                EDGE_BLOCK,
+                cap,
+                src_view=src_view,
+            )
+            for s in range(sg)
+        ]
+        data = dict(data)
+        for k in outs[0]:
+            data[k] = np.stack([o[k] for o in outs])
+        return data
+
     def _shard_edges(self, data: Dict) -> Dict:
         """Split the dst-sorted edge arrays into contiguous chunks [Sg, ...]."""
         sg = self.num_edge_shards
@@ -307,6 +368,7 @@ class BatchLoader:
                         d, t = self._shard_nodes_and_edges(d, t)
                     else:
                         d = self._shard_edges(d)
+                    d = self._align_shards(d)
                 shards.append((d, t))
             # ragged tail shards reuse graphs[:1] but zero the masks so they
             # contribute nothing

@@ -101,6 +101,7 @@ def chunk_align_edges(
     node_chunk: int,
     edge_block: int,
     capacity: int,
+    src_view: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Re-layout a dst-sorted edge list for the chunked fused kernel.
 
@@ -110,6 +111,12 @@ def chunk_align_edges(
     one [D_out, node_chunk] accumulator block. Also builds the source-sorted
     permutation view with the same per-chunk alignment (fill slots point at
     a masked edge) for the dx backward kernel.
+
+    src_view=False skips the source-sorted view (emitted as inert
+    fill-only arrays) — the node-sharded halo layout, where src ids index
+    the gathered GLOBAL node array, only consumes the dst owner map (the
+    v2 merged backward scatters dx into a resident accumulator instead of
+    running the src-sorted v1 machinery).
 
     Returns the replacement edge arrays + the kernel owner maps.
     """
@@ -169,6 +176,16 @@ def chunk_align_edges(
     fill_idx = int(dummies[0])
     src_perm = np.full(capacity, fill_idx, dtype=np.int32)
     src_owner = np.full(nb, nc - 1, dtype=np.int32)
+    if not src_view:
+        return {
+            K.EDGE_INDEX: ei,
+            K.EDGE_CELL_SHIFT: shift,
+            K.EDGE_MASK: mask,
+            K.EDGE_DST_CHUNK: dst_owner,
+            K.EDGE_SRC_PERM: src_perm,
+            K.EDGE_SRC_CHUNK: src_owner,
+            K.EDGE_CHUNK_TAG: np.zeros(nc, dtype=np.int8),
+        }
     real_idx = np.flatnonzero(mask)
     s_owner = ei[0, real_idx] // node_chunk
     order = np.argsort(s_owner, kind="stable")

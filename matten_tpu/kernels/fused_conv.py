@@ -110,16 +110,79 @@ class EdgeChunks(NamedTuple):
     src_owner: jnp.ndarray
 
 
-def _plan_metas(plan: TensorProductPlan, transpose: bool = False):
+class _Layout(NamedTuple):
+    """Kernel-internal row layout of an irreps-typed feature axis.
+
+    to_kernel:  gather indices, x_kernel = x_std[to_kernel]
+    to_std:     inverse gather,  x_std = x_kernel[to_std]
+    offs:       per-entry kernel start offset
+    mmaj:       per-entry flag — True = m-major (component-major,
+                channel-minor) slab layout
+    """
+
+    to_kernel: np.ndarray
+    to_std: np.ndarray
+    offs: tuple
+    mmaj: tuple
+
+
+def _mmaj_layout(irreps, threshold: int) -> _Layout:
+    """m-major kernel layout for the wide-channel entries.
+
+    Entries with mul >= threshold move to the FRONT (every mul in
+    {16, 32, ...} keeps their slab starts 16-sublane-aligned) and store
+    rows component-major: row = entry_off + m * mul + u. A [mul, B] slab
+    per component then covers all channels in ceil(mul/8) full vregs — the
+    per-(channel, m1) fma loop of the standard u-major layout wastes
+    (8 - dim%8)/8 of each vreg on the small irrep dims. Remaining entries
+    keep the standard layout, after the m-major block.
+    """
+    entries = list(irreps)
+    slices = irreps.slices()
+    n = irreps.dim
+    order = [i for i, mi in enumerate(entries) if mi.mul >= threshold] + [
+        i for i, mi in enumerate(entries) if mi.mul < threshold
+    ]
+    to_kernel = np.zeros(n, np.int32)
+    offs = [0] * len(entries)
+    mmaj = [False] * len(entries)
+    pos = 0
+    for i in order:
+        mul, ir = entries[i].mul, entries[i].ir
+        d = ir.dim
+        s = slices[i].start
+        offs[i] = pos
+        if mul >= threshold:
+            mmaj[i] = True
+            m_grid, u_grid = np.meshgrid(np.arange(d), np.arange(mul), indexing="ij")
+            to_kernel[pos : pos + mul * d] = (s + u_grid * d + m_grid).reshape(-1)
+        else:
+            to_kernel[pos : pos + mul * d] = np.arange(s, s + mul * d)
+        pos += mul * d
+    to_std = np.argsort(to_kernel).astype(np.int32)
+    return _Layout(to_kernel, to_std, tuple(offs), tuple(mmaj))
+
+
+def _plan_metas(
+    plan: TensorProductPlan, transpose: bool = False, mmaj_threshold: int = 0
+):
     """Static per-path metadata + stacked CG tables.
 
     transpose=True swaps the roles of the first input and the output
     (CG[m3, m2, m1] instead of CG[m1, m2, m3]) — the dx backward pass is
     the forward kernel run on this transposed plan with src/dst swapped.
+
+    mmaj_threshold > 0 lays the in1/out feature axes out m-major for
+    entries with mul >= threshold (see _mmaj_layout); callers must permute
+    the node/cotangent arrays with the returned layouts.
     """
     in1_slices = plan.irreps_in1.slices()
     in2_slices = plan.irreps_in2.slices()
     out_slices = plan.irreps_out.slices()
+    lay1 = layo = None
+    if mmaj_threshold:
+        lay1 = _mmaj_layout(plan.irreps_in1, mmaj_threshold)
+        layo = _mmaj_layout(plan.irreps_out, mmaj_threshold)
     raw = []
     w_off = 0
     max_d2 = max(mi.ir.dim for mi in plan.irreps_in2)
@@ -135,8 +198,8 @@ def _plan_metas(plan: TensorProductPlan, transpose: bool = False):
         da = c.shape[0]
         db = c.shape[2]
         c2 = np.ascontiguousarray(c.transpose(0, 2, 1).reshape(da * db, ir2.dim))
-        x_start = in1_slices[ins.i_in1].start
-        o_start = out_slices[ins.i_out].start
+        x_start = in1_slices[ins.i_in1].start if lay1 is None else lay1.offs[ins.i_in1]
+        o_start = out_slices[ins.i_out].start if layo is None else layo.offs[ins.i_out]
         if transpose:
             x_start, o_start = o_start, x_start
         raw.append(
@@ -150,6 +213,7 @@ def _plan_metas(plan: TensorProductPlan, transpose: bool = False):
                 d1=da,
                 d2=ir2.dim,
                 d3=db,
+                mmaj=bool(mmaj_threshold) and mul1 >= mmaj_threshold,
             )
         )
         w_off += int(np.prod(wshape))
@@ -168,7 +232,7 @@ def _plan_metas(plan: TensorProductPlan, transpose: bool = False):
         c_blocks.append(c2p)
         col_off += c2.shape[0]
     c_all = np.concatenate(c_blocks, axis=0)  # [total_rows, max_d2]
-    return metas, c_all, max_d2
+    return metas, c_all, max_d2, (lay1, layo)
 
 
 @functools.lru_cache(maxsize=None)
@@ -195,7 +259,7 @@ def _build_call(
 
     assert n_nodes % chunk == 0, (n_nodes, chunk)
     assert n_edges % block == 0, (n_edges, block)
-    metas, c_all, max_d2 = _plan_metas(plan, transpose=transpose)
+    metas, c_all, max_d2, _ = _plan_metas(plan, transpose=transpose)
     # transposed plans read gradient rows (out irreps) and write input irreps;
     # their out entries collide across paths, so message rows accumulate
     d1 = plan.irreps_out.dim if transpose else plan.irreps_in1.dim
@@ -324,7 +388,7 @@ def _build_dw_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    metas, c_all, _ = _plan_metas(plan, transpose=False)
+    metas, c_all, _, _ = _plan_metas(plan, transpose=False)
     d1 = plan.irreps_in1.dim
     d2 = plan.irreps_in2.dim
     dw = plan.weight_numel
@@ -672,6 +736,75 @@ def fused_uvu_conv(
 RESIDENT_NODES_MAX = 2048
 SINGLE_ACC_MAX = 1024  # v2 without collation chunk fields (own = zeros)
 
+# m-major slab layout threshold: entries with mul >= this are laid out
+# component-major inside the v2 kernels (see _mmaj_layout) — one fma then
+# covers all channels of a path component in full vregs instead of one
+# partially-filled vreg per (channel, component) pair. 0 disables (exact
+# replication of the u-major summation order). DEVNOTES roofline: the
+# production plan's assembly drops to ~0.69x (fwd) / ~0.60x (merged bwd)
+# of the u-major vreg-op count.
+MMAJ_THRESHOLD = 16
+
+
+def set_mmaj_threshold(t: int) -> None:
+    global MMAJ_THRESHOLD
+    MMAJ_THRESHOLD = int(t)
+
+
+def _assemble(metas, ts, xg, wT_read, emit):
+    """Per-path message assembly shared by the v2 kernels.
+
+    xg: [d1_kernel_layout, B] gathered features (kernel row layout).
+    wT_read(w0, mul) -> [mul, B] radial-weight slab (f32).
+    emit(row0, nrows, value) stores (forward: out entries are per-path
+    exclusive) or accumulates (transposed: entries collide across paths)
+    message rows.
+    """
+    for m in metas:
+        mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
+        t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
+        tb = m["c_sl"].start - r0
+        if m.get("mmaj"):
+            x0, o0, w0 = m["x_start"], m["o_start"], m["w_start"]
+            w_slab = wT_read(w0, mul)
+            if pd1 <= pd3:
+                # pre-scale the pd1 x slabs by w: pd1 mults + pd1*pd3 fmas
+                xw = [
+                    xg[x0 + m1 * mul : x0 + (m1 + 1) * mul, :] * w_slab
+                    for m1 in range(pd1)
+                ]
+                for m3 in range(pd3):
+                    acc = t_all[tb + m3 : tb + m3 + 1, :] * xw[0]
+                    for m1 in range(1, pd1):
+                        r = tb + m1 * pd3 + m3
+                        acc = acc + t_all[r : r + 1, :] * xw[m1]
+                    emit(o0 + m3 * mul, mul, acc)
+            else:
+                # post-scale per output component: pd3 mults
+                xs = [
+                    xg[x0 + m1 * mul : x0 + (m1 + 1) * mul, :]
+                    for m1 in range(pd1)
+                ]
+                for m3 in range(pd3):
+                    acc = t_all[tb + m3 : tb + m3 + 1, :] * xs[0]
+                    for m1 in range(1, pd1):
+                        r = tb + m1 * pd3 + m3
+                        acc = acc + t_all[r : r + 1, :] * xs[m1]
+                    emit(o0 + m3 * mul, mul, acc * w_slab)
+        else:
+            for u in range(mul):
+                x0 = m["x_start"] + u * pd1
+                xu = xg[x0 : x0 + pd1, :]
+                acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
+                for m1 in range(1, pd1):
+                    acc = acc + (
+                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                        * xu[m1 : m1 + 1, :]
+                    )
+                w0 = m["w_start"] + u
+                o0 = m["o_start"] + u * pd3
+                emit(o0, pd3, acc * wT_read(w0, 1))
+
 
 @functools.lru_cache(maxsize=None)
 def _build_fwd2(
@@ -683,12 +816,13 @@ def _build_fwd2(
     chunk: int,
     interpret: bool,
     mm_dtype: str,
+    mmaj: int = 0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert n_out % chunk == 0 and n_edges % block == 0
-    metas, c_all, _ = _plan_metas(plan)
+    metas, c_all, _, _ = _plan_metas(plan, mmaj_threshold=mmaj)
     d1 = plan.irreps_in1.dim
     d2 = plan.irreps_in2.dim
     dw = plan.weight_numel
@@ -731,24 +865,14 @@ def _build_fwd2(
             cg = c_ref[r0:r1, : (b - a)]
             ts[(a, b)] = (jnp.dot(cg, y, preferred_element_type=jnp.float32), r0)
 
-        for m in metas:
-            mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
-            t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
-            tb = m["c_sl"].start - r0
-            for u in range(mul):
-                x0 = m["x_start"] + u * pd1
-                xu = xg[x0 : x0 + pd1, :]
-                acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
-                for m1 in range(1, pd1):
-                    acc = acc + (
-                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
-                        * xu[m1 : m1 + 1, :]
-                    )
-                w0 = m["w_start"] + u
-                o0 = m["o_start"] + u * pd3
-                msg_ref[o0 : o0 + pd3, :] = acc * wT_ref[w0 : w0 + 1, :].astype(
-                    jnp.float32
-                )
+        def emit(o0, nrows, val):
+            msg_ref[o0 : o0 + nrows, :] = val
+
+        _assemble(
+            metas, ts, xg,
+            lambda w0, n: wT_ref[w0 : w0 + n, :].astype(jnp.float32),
+            emit,
+        )
 
         out_ref[:, :] += jnp.dot(
             msg_ref[:, :].astype(mdt), oh_dst, preferred_element_type=jnp.float32
@@ -798,6 +922,7 @@ def _build_bwd2(
     chunk: int,
     interpret: bool,
     mm_dtype: str,
+    mmaj: int = 0,
 ):
     """Merged backward: ONE pass over the dst-sorted edge blocks emitting
     dxT [d1, n_in] (resident accumulated output; one-hot scatter shares the
@@ -808,8 +933,8 @@ def _build_bwd2(
     from jax.experimental.pallas import tpu as pltpu
 
     assert n_out % chunk == 0 and n_edges % block == 0
-    metas, c_all, _ = _plan_metas(plan)
-    metas_t, c_all_t, _ = _plan_metas(plan, transpose=True)
+    metas, c_all, _, _ = _plan_metas(plan, mmaj_threshold=mmaj)
+    metas_t, c_all_t, _, _ = _plan_metas(plan, transpose=True, mmaj_threshold=mmaj)
     d1 = plan.irreps_in1.dim
     d2 = plan.irreps_in2.dim
     dw = plan.weight_numel
@@ -868,40 +993,62 @@ def _build_bwd2(
             mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
             t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
             tb = m["c_sl"].start - r0
-            for u in range(mul):
-                x0 = m["x_start"] + u * pd1
-                xu = xg[x0 : x0 + pd1, :]
-                acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
-                for m1 in range(1, pd1):
-                    acc = acc + (
-                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
-                        * xu[m1 : m1 + 1, :]
-                    )
-                o0 = m["o_start"] + u * pd3
-                gu = gblk[o0 : o0 + pd3, :]
-                w0 = m["w_start"] + u
-                dwT_ref[w0 : w0 + 1, :] = jnp.sum(acc * gu, axis=0, keepdims=True)
+            if m.get("mmaj"):
+                # slab form: dw[u] = sum_{m1,m3} t(m1,m3) x(u,m1) g(u,m3);
+                # contract the cheaper index first
+                x0, o0, w0 = m["x_start"], m["o_start"], m["w_start"]
+                xs = [
+                    xg[x0 + m1 * mul : x0 + (m1 + 1) * mul, :]
+                    for m1 in range(pd1)
+                ]
+                gs = [
+                    gblk[o0 + m3 * mul : o0 + (m3 + 1) * mul, :]
+                    for m3 in range(pd3)
+                ]
+                dwv = None
+                if pd1 <= pd3:
+                    for m1 in range(pd1):
+                        tg = t_all[tb + m1 * pd3 : tb + m1 * pd3 + 1, :] * gs[0]
+                        for m3 in range(1, pd3):
+                            r = tb + m1 * pd3 + m3
+                            tg = tg + t_all[r : r + 1, :] * gs[m3]
+                        v = xs[m1] * tg
+                        dwv = v if dwv is None else dwv + v
+                else:
+                    for m3 in range(pd3):
+                        tx = t_all[tb + m3 : tb + m3 + 1, :] * xs[0]
+                        for m1 in range(1, pd1):
+                            r = tb + m1 * pd3 + m3
+                            tx = tx + t_all[r : r + 1, :] * xs[m1]
+                        v = gs[m3] * tx
+                        dwv = v if dwv is None else dwv + v
+                dwT_ref[w0 : w0 + mul, :] = dwv
+            else:
+                for u in range(mul):
+                    x0 = m["x_start"] + u * pd1
+                    xu = xg[x0 : x0 + pd1, :]
+                    acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
+                    for m1 in range(1, pd1):
+                        acc = acc + (
+                            t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                            * xu[m1 : m1 + 1, :]
+                        )
+                    o0 = m["o_start"] + u * pd3
+                    gu = gblk[o0 : o0 + pd3, :]
+                    w0 = m["w_start"] + u
+                    dwT_ref[w0 : w0 + 1, :] = jnp.sum(acc * gu, axis=0, keepdims=True)
 
         # dx: transposed-plan assembly from g rows, scatter into src columns
         dmsg_ref[:, :] = jnp.zeros(dmsg_ref.shape, dmsg_ref.dtype)
-        for m in metas_t:
-            mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
-            t_all, r0 = ts_t[(m["sh_sl"].start, m["sh_sl"].stop)]
-            tb = m["c_sl"].start - r0
-            for u in range(mul):
-                x0 = m["x_start"] + u * pd1
-                gu = gblk[x0 : x0 + pd1, :]
-                acc = t_all[tb : tb + pd3, :] * gu[0:1, :]
-                for m1 in range(1, pd1):
-                    acc = acc + (
-                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
-                        * gu[m1 : m1 + 1, :]
-                    )
-                w0 = m["w_start"] + u
-                o0 = m["o_start"] + u * pd3
-                dmsg_ref[o0 : o0 + pd3, :] += acc * wT_ref[w0 : w0 + 1, :].astype(
-                    jnp.float32
-                )
+
+        def emit_dx(o0, nrows, val):
+            dmsg_ref[o0 : o0 + nrows, :] += val
+
+        _assemble(
+            metas_t, ts_t, gblk,
+            lambda w0, n: wT_ref[w0 : w0 + n, :].astype(jnp.float32),
+            emit_dx,
+        )
 
         # scatter-accumulate: dxT += dmsg @ oh_src^T  (NT matmul)
         dx_ref[:, :] += jax.lax.dot_general(
@@ -968,12 +1115,20 @@ def _make_fn2(
     chunk: int,
     interpret: bool,
     mm_dtype: str,
+    mmaj: int = 0,
 ):
     """v2 custom_vjp: transposed radial weights in/out, merged backward.
 
     Signature: fused(x_nodes [N_in, d1], sh [E, d2], wT [dw, E], src, dst,
     own [E/block]) — `own` is the dst-chunk owner map (all zeros with
-    chunk == n_out for the single-accumulator layout)."""
+    chunk == n_out for the single-accumulator layout).
+
+    mmaj > 0 runs the kernels in the m-major row layout (_mmaj_layout);
+    the static std<->kernel row permutations are applied here, outside the
+    kernels (XLA folds the gathers into the adjacent transposes)."""
+    lay1 = layo = None
+    if mmaj:
+        _, _, _, (lay1, layo) = _plan_metas(plan, mmaj_threshold=mmaj)
 
     def _prep(e):
         blk = min(block, e)
@@ -983,19 +1138,27 @@ def _make_fn2(
     def _pad_rows(a, e, e_pad):
         return a if e_pad == e else jnp.pad(a, [(0, 0), (0, e_pad - e)])
 
+    def _perm(aT, lay):
+        return aT if lay is None else jnp.take(aT, lay.to_kernel, axis=0)
+
+    def _unperm(aT, lay):
+        return aT if lay is None else jnp.take(aT, lay.to_std, axis=0)
+
     @jax.custom_vjp
     def fused(x_nodes, sh, wT, src, dst, own):
         e = sh.shape[0]
         blk, e_pad = _prep(e)
-        xall = x_nodes.T.astype(jnp.float32)
+        xall = _perm(x_nodes.T.astype(jnp.float32), lay1)
         shT = _pad_rows(sh.T.astype(jnp.float32), e, e_pad)
         wTp = _pad_rows(wT.astype(jnp.float32), e, e_pad)
         src_row = _pad_rows(src.astype(jnp.int32).reshape(1, -1), e, e_pad)
         dst_col = jnp.pad(
             dst.astype(jnp.int32).reshape(-1, 1), [(0, e_pad - e), (0, 0)]
         )
-        call = _build_fwd2(plan, e_pad, n_in, n_out, blk, chunk, interpret, mm_dtype)
-        aggT = call(own, xall, shT, wTp, src_row, dst_col)
+        call = _build_fwd2(
+            plan, e_pad, n_in, n_out, blk, chunk, interpret, mm_dtype, mmaj
+        )
+        aggT = _unperm(call(own, xall, shT, wTp, src_row, dst_col), layo)
         return aggT.T.astype(x_nodes.dtype)
 
     def fwd(x_nodes, sh, wT, src, dst, own):
@@ -1005,15 +1168,17 @@ def _make_fn2(
         x_nodes, sh, wT, src, dst, own = res
         e = sh.shape[0]
         blk, e_pad = _prep(e)
-        xall = x_nodes.T.astype(jnp.float32)
-        gT = g.T.astype(jnp.float32)
+        xall = _perm(x_nodes.T.astype(jnp.float32), lay1)
+        gT = _perm(g.T.astype(jnp.float32), layo)
         shT = _pad_rows(sh.T.astype(jnp.float32), e, e_pad)
         wTp = _pad_rows(wT.astype(jnp.float32), e, e_pad)
         src_row = _pad_rows(src.astype(jnp.int32).reshape(1, -1), e, e_pad)
         dst_row = _pad_rows(dst.astype(jnp.int32).reshape(1, -1), e, e_pad)
-        call = _build_bwd2(plan, e_pad, n_in, n_out, blk, chunk, interpret, mm_dtype)
+        call = _build_bwd2(
+            plan, e_pad, n_in, n_out, blk, chunk, interpret, mm_dtype, mmaj
+        )
         dxT, dwT = call(own, xall, gT, shT, wTp, src_row, dst_row)
-        dx = dxT.T.astype(x_nodes.dtype)
+        dx = _unperm(dxT, lay1).T.astype(x_nodes.dtype)
         dw = dwT[:, :e].astype(wT.dtype)
 
         # dsh via the XLA composition (dead code unless positions are
@@ -1079,6 +1244,7 @@ def fused_uvu_conv_t(
     n_out = int(num_nodes_out) if num_nodes_out is not None else x_nodes.shape[0]
     n_in = x_nodes.shape[0]
     e = sh.shape[0]
+    mmaj = MMAJ_THRESHOLD
     if n_in <= RESIDENT_NODES_MAX:
         if (
             chunks is not None
@@ -1088,7 +1254,7 @@ def fused_uvu_conv_t(
             and _v2_vmem_ok(plan, n_in, n_out, node_chunk, block)
         ):
             return _make_fn2(
-                plan, block, n_in, n_out, node_chunk, interpret, mm_dtype
+                plan, block, n_in, n_out, node_chunk, interpret, mm_dtype, mmaj
             )(x_nodes, sh, wT, src, dst, chunks.dst_owner)
         if n_out <= SINGLE_ACC_MAX and _v2_vmem_ok(
             plan, n_in, n_out, n_out, block
@@ -1096,9 +1262,9 @@ def fused_uvu_conv_t(
             blk = min(block, e)
             e_pad = int(np.ceil(e / blk)) * blk
             own = jnp.zeros(e_pad // blk, dtype=jnp.int32)
-            return _make_fn2(plan, block, n_in, n_out, n_out, interpret, mm_dtype)(
-                x_nodes, sh, wT, src, dst, own
-            )
+            return _make_fn2(
+                plan, block, n_in, n_out, n_out, interpret, mm_dtype, mmaj
+            )(x_nodes, sh, wT, src, dst, own)
     return fused_uvu_conv(
         plan, x_nodes, sh, wT.T, src, dst,
         chunks=chunks, num_nodes_out=num_nodes_out,

@@ -147,12 +147,7 @@ class PointConv(nn.Module):
         # producing them natively (transposed MLP, identical parameters)
         # avoids transposing the widest per-edge array in HBM twice per
         # layer (fwd + the dw cotangent)
-        transposed_w = (
-            get_tp_impl() == "pallas"
-            and not (
-                self.graph_axis is not None and self.graph_shard_mode == "node_ring"
-            )
-        )
+        transposed_w = get_tp_impl() == "pallas"
         if transposed_w:
             edge_weights_t = radial_mlp(edge_emb.T, transposed=True)
             edge_weights = None
@@ -178,7 +173,12 @@ class PointConv(nn.Module):
             src_g = src.reshape(sg, cap2)
             dst_g = dst.reshape(sg, cap2)
             sh_g = edge_attrs.reshape(sg, cap2, -1)
-            w_g = edge_weights.reshape(sg, cap2, -1)
+            if transposed_w:
+                # [dw, E_loc] -> [dw, sg, cap2]: edges are slot-major, so
+                # the ring-step grouping rides on the trailing axis
+                wt_g = edge_weights_t.reshape(edge_weights_t.shape[0], sg, cap2)
+            else:
+                w_g = edge_weights.reshape(sg, cap2, -1)
             perm = [(i, (i + 1) % sg) for i in range(sg)]
             chunk = feats
             agg = None
@@ -194,13 +194,15 @@ class PointConv(nn.Module):
                 )
                 src_local = take(src_g) - g * c
                 if get_tp_impl() == "pallas":
-                    from matten_tpu.kernels.fused_conv import fused_uvu_conv
+                    from matten_tpu.kernels.fused_conv import fused_uvu_conv_t
 
-                    part = fused_uvu_conv(
+                    part = fused_uvu_conv_t(
                         uvu_plan,
                         chunk,
                         take(sh_g),
-                        take(w_g),
+                        jax.lax.dynamic_index_in_dim(
+                            wt_g, g, axis=1, keepdims=False
+                        ),
                         src_local,
                         take(dst_g),
                         num_nodes_out=num_nodes,
@@ -240,7 +242,7 @@ class PointConv(nn.Module):
 
                 chunks = None
                 kw = {}
-                if K.EDGE_DST_CHUNK in data and self.graph_axis is None:
+                if K.EDGE_DST_CHUNK in data:
                     chunks = EdgeChunks(
                         data[K.EDGE_DST_CHUNK],
                         data[K.EDGE_SRC_PERM],

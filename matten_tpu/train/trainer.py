@@ -371,7 +371,17 @@ class Trainer:
         return loss, ms
 
     # ---- combined data x edge-partition SPMD (shard_map, vma-checked) ----
-    EDGE_FIELDS = (K.EDGE_INDEX, K.EDGE_CELL_SHIFT, K.EDGE_MASK)
+    EDGE_FIELDS = (
+        K.EDGE_INDEX,
+        K.EDGE_CELL_SHIFT,
+        K.EDGE_MASK,
+        # chunk-aligned layout fields (present when the loader engages the
+        # chunked fused kernel; per-shard under graph sharding)
+        K.EDGE_DST_CHUNK,
+        K.EDGE_SRC_PERM,
+        K.EDGE_SRC_CHUNK,
+        K.EDGE_CHUNK_TAG,
+    )
     NODE_FIELDS = (
         K.POSITIONS,
         K.ATOMIC_NUMBERS,
