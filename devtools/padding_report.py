@@ -21,7 +21,7 @@ from matten_tpu.data.datamodule import BatchLoader
 from matten_tpu.nn.embedding import atomic_number_map
 
 
-def report(graphs, batch_size, num_buckets):
+def report(graphs, batch_size, num_buckets, batch_by_size=False, epochs=8):
     species = sorted({int(z) for g in graphs for z in g.atomic_numbers})
     loader = BatchLoader(
         graphs,
@@ -29,13 +29,16 @@ def report(graphs, batch_size, num_buckets):
         species_map=atomic_number_map(tuple(species)),
         shuffle=True,
         num_buckets=num_buckets,
+        batch_by_size=batch_by_size,
     )
     tot_e = pad_e = tot_n = pad_n = 0
-    for data, _ in loader:
-        pad_e += data["edge_mask"].shape[0]
-        tot_e += int(data["edge_mask"].sum())
-        pad_n += data["node_mask"].shape[0]
-        tot_n += int(data["node_mask"].sum())
+    for ep in range(epochs):
+        loader.set_epoch(ep)
+        for data, _ in loader:
+            pad_e += data["edge_mask"].shape[0]
+            tot_e += int(data["edge_mask"].sum())
+            pad_n += data["node_mask"].shape[0]
+            tot_n += int(data["node_mask"].sum())
     return dict(
         buckets=[(p.num_nodes, p.num_edges) for p in loader.pads],
         dummy_edge_frac=1 - tot_e / pad_e,
@@ -51,10 +54,10 @@ def main():
     )
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     graphs, _ = load_tensor_dataset(path, TensorDatasetConfig(r_cut=5.0))
-    for nb in (1, 3):
-        r = report(graphs, batch_size, nb)
+    for nb, bbs in ((1, False), (3, False), (4, True)):
+        r = report(graphs, batch_size, nb, batch_by_size=bbs)
         print(
-            f"num_buckets={nb}: buckets={r['buckets']} "
+            f"num_buckets={nb} batch_by_size={bbs}: buckets={r['buckets']} "
             f"dummy edges {100 * r['dummy_edge_frac']:.1f}% "
             f"dummy nodes {100 * r['dummy_node_frac']:.1f}%"
         )

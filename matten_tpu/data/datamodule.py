@@ -47,6 +47,7 @@ class BatchLoader:
         ring: bool = False,
         node_chunk: Union[int, str, None] = "auto",
         num_buckets: int = 4,
+        batch_by_size: bool = False,
     ):
         """num_shards > 1 yields stacked per-shard batches [S, ...] for SPMD
         data parallelism (each shard is an independently padded sub-batch
@@ -57,12 +58,20 @@ class BatchLoader:
         parallelism over the mesh's 'graph' axis.
 
         num_buckets > 1 builds a small ladder of pad shapes sized from the
-        batch-sum distribution (mean + {1,2,...}sigma, capped by the
-        worst case); each batch is padded to the smallest bucket that fits,
-        so heterogeneous datasets stop paying worst-case dummy-edge FLOPs on
+        batch-sum distribution (quantile levels, capped by the worst case);
+        each batch is padded to the smallest bucket that fits, so
+        heterogeneous datasets stop paying worst-case dummy-edge FLOPs on
         every batch while XLA compiles at most `num_buckets` programs per
-        step function. Sharded layouts use a single bucket (all shards of a
-        stacked batch must share one shape)."""
+        step function. Sharded layouts share one shape per stacked batch —
+        the smallest level that fits every shard.
+
+        batch_by_size composes batches from similarly-sized graphs
+        (window-sorted bucketing: shuffle, sort within windows of
+        4*batch_size, carve batches, shuffle the batch order — the
+        torchtext/fairseq bucket-iterator pattern). Random batch sums are
+        CLT-tight so a quantile ladder alone barely discriminates;
+        size-sorted batches spread their sums across the ladder and each
+        batch pads near its own content."""
         if batch_size % num_shards != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by {num_shards}")
         self.graphs = graphs
@@ -76,8 +85,29 @@ class BatchLoader:
         self.num_edge_shards = num_edge_shards
         self.node_shard = node_shard
         self.ring = ring
+        self.batch_by_size = batch_by_size
         self.seed = seed
         self._rng = np.random.default_rng(seed)
+        # pin the per-node/per-graph classification of extra fields over the
+        # WHOLE dataset (a per-batch shape heuristic misclassifies all-1-atom
+        # batches, which batch_by_size makes likely)
+        def _is_per_node(get):
+            return all(
+                np.asarray(get(g)).ndim >= 1
+                and np.asarray(get(g)).shape[0] == g.num_nodes
+                for g in graphs
+            )
+
+        pk = set()
+        if graphs:
+            for key in graphs[0].y:
+                if _is_per_node(lambda g, k=key: g.y[k]):
+                    pk.add(key)
+            for key in graphs[0].x:
+                if _is_per_node(lambda g, k=key: g.x[k]):
+                    pk.add(key)
+        self._per_node_keys = frozenset(pk)
+
         per_shard = batch_size // num_shards
         from matten_tpu.kernels.fused_conv import CHUNK_THRESHOLD_NODES, NODE_CHUNK
 
@@ -100,48 +130,64 @@ class BatchLoader:
         e_max = int(esizes[:k].sum())
         self.pad = self._make_pad(n_max, e_max, per_shard)
 
-        # bucket ladder (single-shape layouts only): empirical quantiles of
-        # the random-batch sum distribution (bootstrap with a fixed rng so
-        # every epoch sees the same ladder), worst case as the final level
+        # bucket ladder: empirical quantiles of the (sub-)batch sum
+        # distribution (bootstrap with a fixed rng so every epoch sees the
+        # same ladder), worst case as the final level. Sharded layouts pick
+        # one level per stacked batch (the smallest that fits every shard).
         self.pads = [self.pad]
-        if (
-            num_buckets > 1
-            and num_shards == 1
-            and num_edge_shards == 1
-            and 1 < k < len(graphs)
-        ):
+        if num_buckets > 1 and 1 < k < len(graphs):
             arr_n = np.array([g.num_nodes for g in self.graphs])
             arr_e = np.array([g.num_edges for g in self.graphs])
             boot = np.random.default_rng(0xB0C)
+            # simulate the EXACT iterator pipeline (shuffle [-> window sort]
+            # -> carve batches -> strided shard split -> max over shards) so
+            # the quantile levels match the sums _pick_pad_multi compares
             samp_n, samp_e = [], []
-            for _ in range(512):
-                pick = boot.choice(len(graphs), size=k, replace=False)
-                samp_n.append(int(arr_n[pick].sum()))
-                samp_e.append(int(arr_e[pick].sum()))
-            # evenly spaced quantile levels of the full-batch distribution
-            # + the worst case; e.g. num_buckets=4 -> q25 / q50 / q75 / max
-            qs = [(i + 1) / num_buckets for i in range(num_buckets - 1)]
-            ladder = [
-                self._make_pad(
-                    min(int(np.quantile(samp_n, q)), n_max),
-                    min(int(np.quantile(samp_e, q)), e_max),
-                    per_shard,
-                )
-                for q in qs
-            ]
-            k_tail = len(graphs) % batch_size
-            if 0 < k_tail < k:
-                # tail batches are much smaller than full ones; give them
-                # their own level (q95 of bootstrapped tail sums)
-                t_n = [int(arr_n[boot.choice(len(graphs), size=k_tail, replace=False)].sum()) for _ in range(256)]
-                t_e = [int(arr_e[boot.choice(len(graphs), size=k_tail, replace=False)].sum()) for _ in range(256)]
-                ladder.append(
+            rank_n, rank_e = {}, {}
+            S = max(1, self.num_shards)
+            for _ in range(128):
+                order = boot.permutation(len(graphs))
+                if batch_by_size:
+                    order = self._size_order(order, arr_e)
+                for r, j in enumerate(range(0, len(order), batch_size)):
+                    b = order[j : j + batch_size]
+                    lists = [b[s::S] for s in range(S) if len(b[s::S])]
+                    bn = max(int(arr_n[l].sum()) for l in lists)
+                    be = max(int(arr_e[l].sum()) for l in lists)
+                    samp_n.append(bn)
+                    samp_e.append(be)
+                    rank_n[r] = max(rank_n.get(r, 0), bn)
+                    rank_e[r] = max(rank_e.get(r, 0), be)
+            if batch_by_size:
+                # size-sorted batches have a stable RANK structure (batch 0
+                # is always the heaviest of its window); a level at each
+                # rank-band's simulated MAX fits every real batch of that
+                # band snugly — distribution quantiles would sit at cluster
+                # centers and overflow half of each cluster to the next level
+                nranks = len(rank_n)
+                nb = min(num_buckets, nranks)
+                ladder = []
+                for band in range(nb):
+                    rs = [r for r in rank_n if r * nb // nranks == band]
+                    ladder.append(
+                        self._make_pad(
+                            min(max(rank_n[r] for r in rs), n_max),
+                            min(max(rank_e[r] for r in rs), e_max),
+                            per_shard,
+                        )
+                    )
+            else:
+                # random batches: evenly spaced quantile levels + the
+                # simulated max (q=1.0) + the worst case appended below
+                qs = [(i + 1) / num_buckets for i in range(num_buckets)]
+                ladder = [
                     self._make_pad(
-                        min(int(np.quantile(t_n, 0.95)), n_max),
-                        min(int(np.quantile(t_e, 0.95)), e_max),
+                        min(int(np.quantile(samp_n, q)), n_max),
+                        min(int(np.quantile(samp_e, q)), e_max),
                         per_shard,
                     )
-                )
+                    for q in qs
+                ]
             pads = sorted(
                 set(ladder + [self.pad]), key=lambda p: (p.num_nodes, p.num_edges)
             )
@@ -191,9 +237,31 @@ class BatchLoader:
             return PadSpec(n_pad, e_pad, per_shard, node_chunk, EDGE_BLOCK)
         return PadSpec(n_pad, e_pad, per_shard)
 
+    def _size_order(self, idx: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+        """Window-sorted ordering for batch_by_size (stable within windows
+        of 4*batch_size, so shuffling still mixes window membership).
+        Descending, so the ragged TAIL batch gets the window's smallest
+        graphs instead of its largest."""
+        w = 4 * self.batch_size
+        parts = [
+            idx[j : j + w][np.argsort(-sizes[idx[j : j + w]], kind="stable")]
+            for j in range(0, len(idx), w)
+        ]
+        return np.concatenate(parts) if parts else idx
+
     def _pick_pad(self, graphs: List[CrystalGraph]) -> PadSpec:
-        n = sum(g.num_nodes for g in graphs)
-        e = sum(g.num_edges for g in graphs)
+        return self._pick_pad_ne(
+            sum(g.num_nodes for g in graphs), sum(g.num_edges for g in graphs)
+        )
+
+    def _pick_pad_multi(self, shard_lists: List[List[CrystalGraph]]) -> PadSpec:
+        """Smallest ladder level that fits EVERY shard of a stacked batch."""
+        return self._pick_pad_ne(
+            max(sum(g.num_nodes for g in gs) for gs in shard_lists),
+            max(sum(g.num_edges for g in gs) for gs in shard_lists),
+        )
+
+    def _pick_pad_ne(self, n: int, e: int) -> PadSpec:
         for p in self.pads:
             cap = p.num_edges
             if p.node_chunk is not None:
@@ -347,21 +415,39 @@ class BatchLoader:
         idx = np.arange(len(self.graphs))
         if self.shuffle:
             self._rng.shuffle(idx)
-        for i in range(len(self)):
+        order = np.arange(len(self))
+        if self.batch_by_size:
+            sizes = np.array([g.num_edges for g in self.graphs])
+            idx = self._size_order(idx, sizes)
+            if self.shuffle:
+                self._rng.shuffle(order)
+        for i in order:
             chunk = idx[i * self.batch_size : (i + 1) * self.batch_size]
             graphs = [self.graphs[j] for j in chunk]
             if self.num_shards == 1 and self.num_edge_shards == 1:
                 yield collate_graphs(
-                    graphs, self._pick_pad(graphs), species_map=self.species_map
+                    graphs,
+                    self._pick_pad(graphs),
+                    species_map=self.species_map,
+                    per_node_keys=self._per_node_keys,
                 )
                 continue
-            per = self.pad.num_graphs
+            # strided shard assignment balances per-shard sums (with
+            # batch_by_size the batch is a size gradient — contiguous
+            # carving would give one shard all the big graphs and force
+            # every shard onto its ladder level)
+            raw_lists = [
+                graphs[s :: self.num_shards] for s in range(self.num_shards)
+            ]
+            shard_lists = [gs or graphs[:1] for gs in raw_lists]
+            pad = self._pick_pad_multi(shard_lists)
             shards = []
             for s in range(self.num_shards):
                 d, t = collate_graphs(
-                    graphs[s * per : (s + 1) * per] or graphs[:1],
-                    self.pad,
+                    shard_lists[s],
+                    pad,
                     species_map=self.species_map,
+                    per_node_keys=self._per_node_keys,
                 )
                 if self.num_edge_shards > 1:
                     if self.node_shard:
@@ -378,8 +464,8 @@ class BatchLoader:
             targets = {
                 k: np.stack([s[1][k] for s in shards]) for k in shards[0][1]
             }
-            for s, shard in enumerate(shards):
-                if not (s * per < len(graphs)):
+            for s in range(self.num_shards):
+                if not raw_lists[s]:
                     for key in ("node_mask", "edge_mask", "graph_mask"):
                         data[key][s] = False
             yield data, targets
@@ -553,6 +639,7 @@ class TensorDataModule:
         "num_buckets",
         "node_chunk",
         "drop_last",
+        "batch_by_size",
     )
 
     def set_sharding(

@@ -245,6 +245,7 @@ def collate_graphs(
     pad: PadSpec,
     species_map: Optional[np.ndarray] = None,
     dtype=np.float32,
+    per_node_keys: Optional[frozenset] = None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Concatenate + pad a list of graphs into a static-shape batch.
 
@@ -252,6 +253,13 @@ def collate_graphs(
       data — the model input dict (keys.py fields + masks),
       targets — per-graph fields stacked to [G_pad, ...], per-node fields to
       [N_pad, ...] (classified by leading-dimension == num_nodes).
+
+    `per_node_keys`, when given, pins the per-node/per-graph classification
+    of extra x/y fields (the BatchLoader computes it once over the WHOLE
+    dataset). The per-batch shape heuristic misclassifies a batch composed
+    entirely of 1-atom graphs — [1, D] graph targets then match num_nodes —
+    which size-sorted batching makes likely, and a pytree-shape change
+    between batches breaks stacked shard layouts.
 
     `species_map` is the Z -> species-index lookup from
     nn.embedding.atomic_number_map; when given, species_index is precomputed
@@ -344,6 +352,8 @@ def collate_graphs(
         vals = [np.asarray(g.x[key]) for g in graphs]
         if key in PER_GRAPH_KEYS:
             per_node = False
+        elif per_node_keys is not None:
+            per_node = key in per_node_keys
         else:
             per_node = vals[0].ndim >= 1 and vals[0].shape[0] == graphs[0].num_nodes
             if per_node and not all(
@@ -364,13 +374,16 @@ def collate_graphs(
     targets: Dict[str, np.ndarray] = {}
     for key in graphs[0].y:
         vals = [np.asarray(g.y[key]) for g in graphs]
-        per_node = vals[0].ndim >= 1 and vals[0].shape[0] == graphs[0].num_nodes
-        # disambiguate single-node graphs with [1, D] graph targets: treat
-        # explicit 2D [1, D] rows as per-graph unless all graphs match nodes
-        if per_node and not all(
-            v.shape[0] == g.num_nodes for v, g in zip(vals, graphs)
-        ):
-            per_node = False
+        if per_node_keys is not None:
+            per_node = key in per_node_keys
+        else:
+            per_node = vals[0].ndim >= 1 and vals[0].shape[0] == graphs[0].num_nodes
+            # disambiguate single-node graphs with [1, D] graph targets:
+            # per-graph unless every graph's rows match its node count
+            if per_node and not all(
+                v.shape[0] == g.num_nodes for v, g in zip(vals, graphs)
+            ):
+                per_node = False
         if per_node:
             stacked = np.concatenate(vals, axis=0)
             out = np.zeros((pad.num_nodes,) + stacked.shape[1:], dtype=stacked.dtype if stacked.dtype == bool else dtype)

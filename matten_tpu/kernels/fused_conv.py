@@ -83,15 +83,16 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 # Default node-chunk / edge-block geometry for the chunk-aligned layout.
-# A single [D_out, N] accumulator serves the production plan to N ~ 500
-# (the v2 kernels double-buffer the output chunk AND carry the backward's
-# chunk-indexed cotangent block); collation switches to chunking above
-# CHUNK_THRESHOLD_NODES. C = 128 is the Mosaic lane-granularity floor —
-# smaller output chunks are rejected (last block dim must be a multiple of
-# 128) and larger ones only grow the one-hot aggregation FLOPs.
+# C = 128 is the Mosaic lane-granularity floor — smaller output chunks are
+# rejected (last block dim must be a multiple of 128) and larger ones only
+# grow the one-hot aggregation matmul, which is the kernels' dominant
+# per-block fixed cost ([D_out, B] @ [B, C] scales with C). Measured on
+# v5e (DEVNOTES r3): the chunked C=128 kernels beat the single-[D_out, N]
+# accumulator already at N = 256 (1.26 vs 1.40 ms fwd+bwd), so collation
+# engages chunking as soon as the batch exceeds one chunk.
 NODE_CHUNK = 128
 EDGE_BLOCK = 256
-CHUNK_THRESHOLD_NODES = 512
+CHUNK_THRESHOLD_NODES = 128
 
 
 class EdgeChunks(NamedTuple):
@@ -163,6 +164,82 @@ def _mmaj_layout(irreps, threshold: int) -> _Layout:
     return _Layout(to_kernel, to_std, tuple(offs), tuple(mmaj))
 
 
+def _uvu_groups(plan: TensorProductPlan, threshold: int):
+    """Path groups for small-mul slab packing.
+
+    Small-mul paths sharing the same (in1 entry, sh entry) read the same
+    x channels against the same CG@sh product block; packing their output
+    components into ONE [sum(d3), B] slab per channel turns per-path
+    partially-filled-vreg fmas into shared full slabs (the per-path w
+    multiply stays per path). Returns {(i_in1, i_in2): [path indices]} for
+    groups of >= 2 paths with mul < threshold."""
+    groups = {}
+    for pi, ins in enumerate(plan.instructions):
+        mul1, _ = plan.irreps_in1[ins.i_in1]
+        if 0 < mul1 < threshold:
+            groups.setdefault((ins.i_in1, ins.i_in2), []).append(pi)
+    return {k: v for k, v in groups.items() if len(v) >= 2}
+
+
+def _out_layout(plan: TensorProductPlan, threshold: int, groups) -> _Layout:
+    """Kernel row layout of the uvu OUTPUT axis: m-major entries first
+    (16-aligned slabs), then grouped small-mul entries interleaved
+    [u-major x (path, m3)] so each channel's packed slab is contiguous,
+    then remaining entries in standard layout.
+
+    offs[i_out] is the entry's kernel base; for grouped entries the base
+    points at the (u=0, off_p) row and rows step by the GROUP's summed d3
+    per channel (metas carry that stride)."""
+    out_slices = plan.irreps_out.slices()
+    entries = list(plan.irreps_out)
+    n = plan.irreps_out.dim
+    in_group = {}
+    for key, pis in groups.items():
+        for pi in pis:
+            in_group[plan.instructions[pi].i_out] = key
+    to_kernel = np.zeros(n, np.int32)
+    offs = [0] * len(entries)
+    mmaj = [False] * len(entries)
+    pos = 0
+    # 1) m-major entries
+    for i, mi in enumerate(entries):
+        if mi.mul >= threshold:
+            d = mi.ir.dim
+            s = out_slices[i].start
+            offs[i] = pos
+            mmaj[i] = True
+            m_g, u_g = np.meshgrid(np.arange(d), np.arange(mi.mul), indexing="ij")
+            to_kernel[pos : pos + mi.mul * d] = (s + u_g * d + m_g).reshape(-1)
+            pos += mi.mul * d
+    # 2) grouped small-mul entries, interleaved per group
+    for key, pis in groups.items():
+        mul = plan.irreps_in1[plan.instructions[pis[0]].i_in1].mul
+        d3s = [plan.irreps_out[plan.instructions[pi].i_out].ir.dim for pi in pis]
+        d3sum = sum(d3s)
+        off_p = 0
+        for pi, d3 in zip(pis, d3s):
+            i_out = plan.instructions[pi].i_out
+            s = out_slices[i_out].start
+            offs[i_out] = pos + off_p  # base of (u=0, this path)
+            for u in range(mul):
+                r0 = pos + u * d3sum + off_p
+                to_kernel[r0 : r0 + d3] = np.arange(s + u * d3, s + (u + 1) * d3)
+            off_p += d3
+        pos += mul * d3sum
+    # 3) remaining entries, standard layout
+    for i, mi in enumerate(entries):
+        if mi.mul >= threshold or i in in_group:
+            continue
+        d = mi.ir.dim
+        s = out_slices[i].start
+        offs[i] = pos
+        to_kernel[pos : pos + mi.mul * d] = np.arange(s, s + mi.mul * d)
+        pos += mi.mul * d
+    assert pos == n
+    to_std = np.argsort(to_kernel).astype(np.int32)
+    return _Layout(to_kernel, to_std, tuple(offs), tuple(mmaj))
+
+
 def _plan_metas(
     plan: TensorProductPlan, transpose: bool = False, mmaj_threshold: int = 0
 ):
@@ -172,42 +249,111 @@ def _plan_metas(
     (CG[m3, m2, m1] instead of CG[m1, m2, m3]) — the dx backward pass is
     the forward kernel run on this transposed plan with src/dst swapped.
 
-    mmaj_threshold > 0 lays the in1/out feature axes out m-major for
-    entries with mul >= threshold (see _mmaj_layout); callers must permute
-    the node/cotangent arrays with the returned layouts.
+    mmaj_threshold > 0 activates the kernel-internal layouts: m-major for
+    entries with mul >= threshold (see _mmaj_layout) and [u x (path, m3)]
+    slab packing for small-mul path groups (_uvu_groups / _out_layout);
+    callers must permute the node/cotangent arrays with the returned
+    layouts. Forward metas then contain one packed meta per group
+    (kind "grp"); transposed metas stay per-path but carry the group
+    stride/offset so their gradient reads index the packed layout.
     """
     in1_slices = plan.irreps_in1.slices()
     in2_slices = plan.irreps_in2.slices()
     out_slices = plan.irreps_out.slices()
     lay1 = layo = None
+    groups = {}
     if mmaj_threshold:
+        groups = _uvu_groups(plan, mmaj_threshold)
         lay1 = _mmaj_layout(plan.irreps_in1, mmaj_threshold)
-        layo = _mmaj_layout(plan.irreps_out, mmaj_threshold)
-    raw = []
+        layo = _out_layout(plan, mmaj_threshold, groups)
+    group_of = {}
+    for key, pis in groups.items():
+        d3s = [plan.irreps_out[plan.instructions[pi].i_out].ir.dim for pi in pis]
+        for pi in pis:
+            group_of[pi] = (key, sum(d3s))
+
+    w_offs = []
     w_off = 0
+    for wshape in plan.weight_shapes:
+        w_offs.append(w_off)
+        w_off += int(np.prod(wshape))
+
     max_d2 = max(mi.ir.dim for mi in plan.irreps_in2)
-    for ins, pw, wshape in zip(plan.instructions, plan.path_weights, plan.weight_shapes):
-        mul1, ir1 = plan.irreps_in1[ins.i_in1]
-        mul2, ir2 = plan.irreps_in2[ins.i_in2]
-        _, ir3 = plan.irreps_out[ins.i_out]
-        assert ins.mode == "uvu" and mul2 == 1
+
+    def path_c(pi, ins, pw):
+        ir1 = plan.irreps_in1[ins.i_in1].ir
+        ir2 = plan.irreps_in2[ins.i_in2].ir
+        ir3 = plan.irreps_out[ins.i_out].ir
         c = (wigner_3j(ir1.l, ir2.l, ir3.l) * pw).astype(np.float32)
         if transpose:
             c = np.ascontiguousarray(c.transpose(2, 1, 0))  # [m3, m2, m1]
-        # rows a-major x b: C2[da*db, d2] for t = C2 @ y
-        da = c.shape[0]
-        db = c.shape[2]
-        c2 = np.ascontiguousarray(c.transpose(0, 2, 1).reshape(da * db, ir2.dim))
+        return c
+
+    raw = []
+    grouped_done = set()
+    for pi, (ins, pw) in enumerate(zip(plan.instructions, plan.path_weights)):
+        mul1, ir1 = plan.irreps_in1[ins.i_in1]
+        mul2, ir2 = plan.irreps_in2[ins.i_in2]
+        assert ins.mode == "uvu" and mul2 == 1
         x_start = in1_slices[ins.i_in1].start if lay1 is None else lay1.offs[ins.i_in1]
         o_start = out_slices[ins.i_out].start if layo is None else layo.offs[ins.i_out]
+
+        if not transpose and pi in group_of:
+            # one packed meta per group, emitted at its first path
+            key = group_of[pi][0]
+            if key in grouped_done:
+                continue
+            grouped_done.add(key)
+            pis = groups[key]
+            d3s = [plan.irreps_out[plan.instructions[p].i_out].ir.dim for p in pis]
+            d3sum = sum(d3s)
+            d1 = ir1.dim
+            # combined CG rows [m1-major x (path, m3)]
+            c2 = np.zeros((d1 * d3sum, ir2.dim), dtype=np.float32)
+            off_p = 0
+            for p, d3 in zip(pis, d3s):
+                cp = path_c(p, plan.instructions[p], plan.path_weights[p])
+                for m1 in range(d1):
+                    c2[m1 * d3sum + off_p : m1 * d3sum + off_p + d3] = cp[m1].T
+                off_p += d3
+            raw.append(
+                dict(
+                    kind="grp",
+                    x_start=x_start,
+                    sh_sl=in2_slices[ins.i_in2],
+                    o_base=layo.offs[plan.instructions[pis[0]].i_out],
+                    w_starts=tuple(w_offs[p] for p in pis),
+                    d3s=tuple(d3s),
+                    c2=c2,
+                    mul=mul1,
+                    d1=d1,
+                    d2=ir2.dim,
+                    d3=d3sum,
+                    mmaj=False,
+                )
+            )
+            continue
+
+        c = path_c(pi, ins, pw)
+        da = c.shape[0]
+        db = c.shape[2]
+        # rows a-major x b: C2[da*db, d2] for t = C2 @ y
+        c2 = np.ascontiguousarray(c.transpose(0, 2, 1).reshape(da * db, ir2.dim))
+        x_stride = da
         if transpose:
             x_start, o_start = o_start, x_start
+            if pi in group_of:
+                # gradient reads index the packed forward layout:
+                # row(u) = group base + path offset + u * sum(d3)
+                x_stride = group_of[pi][1]
         raw.append(
             dict(
+                kind="path",
                 x_start=x_start,
+                x_stride=x_stride,
                 sh_sl=in2_slices[ins.i_in2],
                 o_start=o_start,
-                w_start=w_off,
+                w_start=w_offs[pi],
                 c2=c2,
                 mul=mul1,
                 d1=da,
@@ -216,7 +362,6 @@ def _plan_metas(
                 mmaj=bool(mmaj_threshold) and mul1 >= mmaj_threshold,
             )
         )
-        w_off += int(np.prod(wshape))
     # order metas by SH entry so each group's CG rows are contiguous and the
     # kernel can do one CG matmul per spherical-harmonic degree
     raw.sort(key=lambda m: (m["sh_sl"].start, m["sh_sl"].stop))
@@ -764,7 +909,28 @@ def _assemble(metas, ts, xg, wT_read, emit):
         mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
         t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
         tb = m["c_sl"].start - r0
-        if m.get("mmaj"):
+        if m.get("kind") == "grp":
+            # packed small-mul group: ONE [sum(d3), B] accumulator per
+            # channel shared by all paths; per-path radial weight applied
+            # on the path's sub-slab
+            for u in range(mul):
+                x0 = m["x_start"] + u * pd1
+                xu = xg[x0 : x0 + pd1, :]
+                acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
+                for m1 in range(1, pd1):
+                    acc = acc + (
+                        t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                        * xu[m1 : m1 + 1, :]
+                    )
+                off = 0
+                for w0, d3 in zip(m["w_starts"], m["d3s"]):
+                    emit(
+                        m["o_base"] + u * pd3 + off,
+                        d3,
+                        acc[off : off + d3, :] * wT_read(w0 + u, 1),
+                    )
+                    off += d3
+        elif m.get("mmaj"):
             x0, o0, w0 = m["x_start"], m["o_start"], m["w_start"]
             w_slab = wT_read(w0, mul)
             if pd1 <= pd3:
@@ -792,8 +958,9 @@ def _assemble(metas, ts, xg, wT_read, emit):
                         acc = acc + t_all[r : r + 1, :] * xs[m1]
                     emit(o0 + m3 * mul, mul, acc * w_slab)
         else:
+            stride = m.get("x_stride", pd1)
             for u in range(mul):
-                x0 = m["x_start"] + u * pd1
+                x0 = m["x_start"] + u * stride
                 xu = xg[x0 : x0 + pd1, :]
                 acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
                 for m1 in range(1, pd1):
@@ -993,7 +1160,27 @@ def _build_bwd2(
             mul, pd1, pd3 = m["mul"], m["d1"], m["d3"]
             t_all, r0 = ts[(m["sh_sl"].start, m["sh_sl"].stop)]
             tb = m["c_sl"].start - r0
-            if m.get("mmaj"):
+            if m.get("kind") == "grp":
+                # packed group: shared accumulator recompute, one slab
+                # product with g, per-path row reductions
+                for u in range(mul):
+                    x0 = m["x_start"] + u * pd1
+                    xu = xg[x0 : x0 + pd1, :]
+                    acc = t_all[tb : tb + pd3, :] * xu[0:1, :]
+                    for m1 in range(1, pd1):
+                        acc = acc + (
+                            t_all[tb + m1 * pd3 : tb + (m1 + 1) * pd3, :]
+                            * xu[m1 : m1 + 1, :]
+                        )
+                    g0 = m["o_base"] + u * pd3
+                    prod = acc * gblk[g0 : g0 + pd3, :]
+                    off = 0
+                    for w0, d3 in zip(m["w_starts"], m["d3s"]):
+                        dwT_ref[w0 + u : w0 + u + 1, :] = jnp.sum(
+                            prod[off : off + d3, :], axis=0, keepdims=True
+                        )
+                        off += d3
+            elif m.get("mmaj"):
                 # slab form: dw[u] = sum_{m1,m3} t(m1,m3) x(u,m1) g(u,m3);
                 # contract the cheaper index first
                 x0, o0, w0 = m["x_start"], m["o_start"], m["w_start"]

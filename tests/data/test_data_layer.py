@@ -117,6 +117,64 @@ class TestCollation:
         # dummy edges point at the last padded node
         assert np.all(data["edge_index"][:, ~data["edge_mask"]] == 15)
 
+    def test_single_atom_batch_keeps_graph_targets_per_graph(self):
+        """A batch of ALL 1-atom graphs must not reclassify [1, D] graph
+        targets as per-node (pytree-shape change between batches breaks
+        stacked shard layouts; size-sorted batching makes such batches
+        likely — elemental primitive cells are common in materials data)."""
+        from matten_tpu.data.datamodule import BatchLoader
+        from matten_tpu.nn.embedding import atomic_number_map
+
+        rng = np.random.default_rng(3)
+        gs = []
+        for n in (1, 1, 1, 1, 3, 5, 1, 1):
+            s = Structure(np.eye(3) * 3.0, rng.uniform(0, 1, (n, 3)), [14] * n)
+            g = CrystalGraph.from_structure(s, r_cut=4.0)
+            g.y["t"] = rng.normal(size=(1, 4))
+            gs.append(g)
+        smap = atomic_number_map((14,))
+        loader = BatchLoader(
+            gs, batch_size=4, species_map=smap, shuffle=True,
+            batch_by_size=True, num_buckets=2,
+        )
+        shapes = set()
+        for _, targets in loader:
+            assert targets["t"].shape[0] == loader.pad.num_graphs
+            shapes.add(targets["t"].shape[1:])
+        assert shapes == {(4,)}
+
+    def test_batch_by_size_reduces_edge_padding(self):
+        """Window-sorted batching + rank-max ladder pads near content."""
+        from matten_tpu.data.datamodule import BatchLoader
+        from matten_tpu.nn.embedding import atomic_number_map
+
+        rng = np.random.default_rng(4)
+        gs = []
+        for _ in range(64):
+            n = int(rng.integers(2, 12))
+            s = Structure(np.eye(3) * 4.0, rng.uniform(0, 1, (n, 3)), [14] * n)
+            g = CrystalGraph.from_structure(s, r_cut=4.0)
+            g.y["t"] = rng.normal(size=(1, 4))
+            gs.append(g)
+        smap = atomic_number_map((14,))
+
+        def dummy_frac(**kw):
+            loader = BatchLoader(
+                gs, batch_size=16, species_map=smap, shuffle=True,
+                edge_multiple=256, node_multiple=16, **kw,
+            )
+            te = pe = 0
+            for ep in range(4):
+                loader.set_epoch(ep)
+                for d, _ in loader:
+                    pe += d["edge_mask"].size
+                    te += int(d["edge_mask"].sum())
+            return 1 - te / pe
+
+        worst = dummy_frac(num_buckets=1)
+        sized = dummy_frac(num_buckets=4, batch_by_size=True)
+        assert sized < worst * 0.75, (worst, sized)
+
 
 class TestTransforms:
     def test_meannorm_semantics(self):

@@ -116,12 +116,13 @@ def test_dp_ragged_tail_matches_single_device(setup):
     means, so an all-masked tail shard deflated loss and gradients. The
     (sum, count)-psum loss makes non-divisible batches exact."""
     graphs, smap, model = setup
-    graphs6 = graphs[:6]  # 6 graphs over 4 shards -> one all-masked tail
+    # 3 graphs strided over 4 shards -> shard 3 gets no graph (all-masked)
+    graphs3 = graphs[:3]
     task = CanonicalRegressionTask(name="elastic_tensor_full")
 
     t_single = Trainer(model, [task], TrainerConfig(max_epochs=1, lr=0.01, optimizer="sgd"))
     loader_s = BatchLoader(
-        graphs6, batch_size=6, species_map=smap, node_multiple=32, edge_multiple=512
+        graphs3, batch_size=3, species_map=smap, node_multiple=32, edge_multiple=512
     )
     batch_s = next(iter(loader_s))
     state_s = t_single.init_state(batch_s, rng_seed=0)
@@ -129,12 +130,13 @@ def test_dp_ragged_tail_matches_single_device(setup):
     mesh = make_mesh(n_data=4, n_graph=1)
     t_dp = Trainer(model, [task], TrainerConfig(max_epochs=1, lr=0.01, optimizer="sgd"), mesh=mesh)
     loader_dp = BatchLoader(
-        graphs6, batch_size=8, species_map=smap, num_shards=4,
+        graphs3, batch_size=8, species_map=smap, num_shards=4,
         node_multiple=32, edge_multiple=512,
     )
     batch_dp = next(iter(loader_dp))
     # the tail shard must be fully masked
     assert not batch_dp[0]["graph_mask"][3].any()
+    assert int(batch_dp[0]["graph_mask"].sum()) == 3
     state_dp = t_dp.init_state(batch_s, rng_seed=0)
 
     data_s, targets_s = t_single._to_device(batch_s)
