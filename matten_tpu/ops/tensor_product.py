@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -205,6 +206,50 @@ class TensorProductPlan:
             batch_shape + (0,), dtype=dtype
         )
 
+    def apply_scalar_dense(
+        self,
+        x1: jnp.ndarray,
+        x2: jnp.ndarray,
+        weights: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """FCTP with a single all-scalar (S x 0e) irreps_in2 as dense matmuls.
+
+        Mathematically identical to `apply(x1, x2, weights)` but assembles,
+        per scalar channel s, ONE dense [in_dim, out_dim] block-diagonal
+        matrix D_s (the l (x) 0e -> l CG is delta/sqrt(2l+1), so every path
+        is a channel-mixing matrix replicated over the 2l+1 components) and
+        contracts x @ D_s once on the MXU, masked by x2.
+
+        MEASURED SLOWER than `apply` on v5e at production sizes (0.95 vs
+        0.48 ms/layer, devtools/fctp_bench.py): rebuilding D from the flat
+        weights every step is an XLA scatter, which dominates. Kept as the
+        reference formulation for regimes where the weights are static
+        across many applications (inference serving with frozen params can
+        precompute D once); not used by the conv layers.
+        """
+        assert self.in2_is_onehot_compatible, "plan is not scalar-dense compatible"
+        dtype = x1.dtype
+        S = self.irreps_in2[0].mul
+        dim_i = self.irreps_in1.dim
+        dim_o = self.irreps_out.dim
+        pos, idx, scale = _scalar_dense_meta(self)
+        w_sel = weights[jnp.asarray(idx)] * jnp.asarray(scale)[None, :]  # [S, K]
+        d = (
+            jnp.zeros((S, dim_i * dim_o), dtype=jnp.float32)
+            .at[:, jnp.asarray(pos)]
+            .set(w_sel.astype(jnp.float32))
+            .reshape(S, dim_i, dim_o)
+        )
+        # [N, I] x [S, I, O] -> [N, S, O], masked-summed by the scalar
+        # channel values (for a one-hot this selects the species block;
+        # padded all-zero rows produce zeros, like `apply`)
+        y = jax.lax.dot_general(
+            x1.astype(jnp.float32), d, (((x1.ndim - 1,), (1,)), ((), ()))
+        )
+        return jnp.einsum("...so,...s->...o", y, x2.astype(jnp.float32)).astype(
+            dtype
+        )
+
     @property
     def in2_is_onehot_compatible(self) -> bool:
         """True when irreps_in2 is a single scalar (0e) entry — the species
@@ -265,6 +310,48 @@ class TensorProductPlan:
             f"-> {self.irreps_out} | {len(self.instructions)} paths, "
             f"{self.weight_numel} weights)"
         )
+
+
+@functools.lru_cache(maxsize=None)
+def _scalar_dense_meta(plan: "TensorProductPlan"):
+    """Static scatter metadata for apply_scalar_dense.
+
+    Returns (pos [K], idx [S, K], scale [K]) numpy arrays:
+      pos:   flat positions row*dim_o + col of each weight entry in the
+             [dim_in1, dim_out] dense block-diagonal matrix
+      idx:   flat indices into the weight vector per scalar channel s
+             (uvw weight layout is (mul1, S, mul_out))
+      scale: CG * path_weight factor per entry (wigner(l,0,l) is diagonal
+             and m-independent)
+    """
+    dim_o = plan.irreps_out.dim
+    out_slices = plan.irreps_out.slices()
+    S = plan.irreps_in2[0].mul
+    pos, base, sstride, scale = [], [], [], []
+    w_off = 0
+    for ins, pw, wshape in zip(plan.instructions, plan.path_weights, plan.weight_shapes):
+        mul1, ir1 = plan.irreps_in1[ins.i_in1]
+        mul_out, ir_out = plan.irreps_out[ins.i_out]
+        assert ins.mode == "uvw" and ir_out == ir1
+        d = ir1.dim
+        c0 = float(wigner_3j(ir1.l, 0, ir1.l)[0, 0, 0]) * pw
+        i_off = plan._in1_slices[ins.i_in1].start
+        o_off = out_slices[ins.i_out].start
+        u, w, m = np.meshgrid(
+            np.arange(mul1), np.arange(mul_out), np.arange(d), indexing="ij"
+        )
+        row = i_off + u * d + m
+        col = o_off + w * d + m
+        pos.append((row * dim_o + col).reshape(-1))
+        base.append((w_off + u * S * mul_out + w).reshape(-1))
+        sstride.append(np.full(mul1 * mul_out * d, mul_out, dtype=np.int64))
+        scale.append(np.full(mul1 * mul_out * d, c0, dtype=np.float32))
+        w_off += int(np.prod(wshape))
+    pos = np.concatenate(pos).astype(np.int32)
+    base = np.concatenate(base)
+    sstride = np.concatenate(sstride)
+    idx = (base[None, :] + np.arange(S)[:, None] * sstride[None, :]).astype(np.int32)
+    return pos, idx, np.concatenate(scale)
 
 
 def fully_connected_tp_plan(

@@ -180,6 +180,25 @@ class TestTensorProduct:
         out_r = np.asarray(plan.apply(x1 @ d1.T, x2 @ d2.T, w))
         np.testing.assert_allclose(out_r, out @ do.T, atol=1e-4)
 
+    def test_apply_scalar_dense_matches_apply(self):
+        """Dense block-diagonal FCTP formulation == per-path einsums."""
+        import jax
+
+        rng = np.random.default_rng(11)
+        attrs_ir = Irreps("5x0e")
+        plan = fully_connected_tp_plan(self.IR1, attrs_ir, self.IR1)
+        x = jnp.asarray(rng.normal(size=(7, self.IR1.dim)), dtype=jnp.float32)
+        oh = jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 5, 7)), 5, dtype=jnp.float32
+        )
+        # one padded row (all-zero one-hot) must yield zeros in both
+        oh = oh.at[3].set(0.0)
+        w = jnp.asarray(rng.normal(size=(plan.weight_numel,)), dtype=jnp.float32)
+        a = np.asarray(plan.apply(x, oh, w))
+        b = np.asarray(plan.apply_scalar_dense(x, oh, w))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        np.testing.assert_allclose(b[3], 0.0)
+
     def test_variance_preservation(self):
         rng = np.random.default_rng(7)
         plan = fully_connected_tp_plan(self.IR1, self.IR2, self.IRO)
