@@ -164,6 +164,18 @@ def main():
         finally:
             fused_tp.set_agg_matmul_dtype("float32")
 
+    # --- edge-block sweep (single-acc; the chunked layout pins B=256 at
+    # collation) ---
+    if which.startswith("v2b"):
+        blk = int(which[3:])
+        conv2b = lambda a, b, c: fused_uvu_conv_t(
+            plan, a, b, c, src, dst, num_nodes_out=n, block=blk, interpret=False)
+        try:
+            fused_tp.set_agg_matmul_dtype("bfloat16")
+            measure(f"v2 single-acc B={blk} bf16mm", conv2b, sh, wT)
+        finally:
+            fused_tp.set_agg_matmul_dtype("float32")
+
 
 if __name__ == "__main__":
     main()

@@ -38,6 +38,7 @@ def main():
 
     impl = configure_default_tiers()
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    n_layers = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     rng = np.random.default_rng(0)
     data, targets, real_edges, species = build_batch(rng)
@@ -48,7 +49,7 @@ def main():
         radial_basis_start=0.0,
         radial_basis_end=5.0,
         radial_basis_type="bessel",
-        num_layers=3,
+        num_layers=n_layers,
         invariant_layers=2,
         invariant_neurons=32,
         average_num_neighbors=30.0,
