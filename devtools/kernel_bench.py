@@ -164,6 +164,20 @@ def main():
         finally:
             fused_tp.set_agg_matmul_dtype("float32")
 
+    if which in ("all", "v2in16"):
+        # bf16 STORAGE of the sh/w edge arrays (the dominant HBM reads) on
+        # top of the production bf16 aggregation operands — the r2 hazard
+        # (16-sublane bf16 tiles + odd-offset path slices -> relayouts)
+        # re-measured in the v2 layout (round-3 verdict weak #8)
+        try:
+            fused_tp.set_agg_matmul_dtype("bfloat16")
+            fused_tp.set_kernel_in_dtype("bfloat16")
+            measure("v2 single bf16mm+in16", conv2, sh, wT)
+            measure(f"v2 chunked C={chunk} bf16mm+in16", conv2c, csh, cwT)
+        finally:
+            fused_tp.set_agg_matmul_dtype("float32")
+            fused_tp.set_kernel_in_dtype("float32")
+
     # --- edge-block sweep (single-acc; the chunked layout pins B=256 at
     # collation) ---
     if which.startswith("v2b"):

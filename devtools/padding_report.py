@@ -46,6 +46,40 @@ def report(graphs, batch_size, num_buckets, batch_by_size=False, epochs=8):
     )
 
 
+def report_ring(graphs, batch_size, sg=4, epochs=4):
+    """Ring-layout slot stats: per-slot capacity vs the old conservative
+    2E/Sg bound, and the resulting dummy-edge fraction."""
+    species = sorted({int(z) for g in graphs for z in g.atomic_numbers})
+    loader = BatchLoader(
+        graphs,
+        batch_size=batch_size,
+        species_map=atomic_number_map(tuple(species)),
+        shuffle=True,
+        num_edge_shards=sg,
+        node_shard=True,
+        ring=True,
+    )
+    tot_e = pad_e = old_pad_e = 0
+    caps, olds = [], []
+    for ep in range(epochs):
+        loader.set_epoch(ep)
+        for data, _ in loader:
+            pad_e += data["edge_mask"].size
+            tot_e += int(data["edge_mask"].sum())
+            caps.append(data["edge_index"].shape[-1] // sg)
+            # the pre-balancing slot capacity was 2 * E_pad / Sg; each of
+            # the Sg shards holds Sg slots -> old total = Sg*Sg*cap2_old
+            e_pre, _ = loader._last_ring_stats
+            olds.append(2 * e_pre // sg)
+            old_pad_e += loader.num_shards * sg * sg * (2 * e_pre // sg)
+    return dict(
+        slot_caps=sorted(set(caps)),
+        old_slot_caps=sorted(set(olds)),
+        dummy_edge_frac=1 - tot_e / pad_e,
+        old_dummy_edge_frac=1 - tot_e / old_pad_e,
+    )
+
+
 def main():
     path = (
         sys.argv[1]
@@ -61,6 +95,13 @@ def main():
             f"dummy edges {100 * r['dummy_edge_frac']:.1f}% "
             f"dummy nodes {100 * r['dummy_node_frac']:.1f}%"
         )
+    rr = report_ring(graphs, batch_size)
+    print(
+        f"ring layout (Sg=4): slot caps {rr['slot_caps']} "
+        f"(old conservative bound {rr['old_slot_caps']}) "
+        f"dummy edges {100 * rr['dummy_edge_frac']:.1f}% "
+        f"(old {100 * rr['old_dummy_edge_frac']:.1f}%)"
+    )
 
 
 if __name__ == "__main__":

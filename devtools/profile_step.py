@@ -91,6 +91,14 @@ def main():
     print(f"full train step           : {t_full*1e3:8.2f} ms   "
           f"({real_edges/t_full/1e6:.2f}M edges/s)", flush=True)
 
+    # speed-of-light: achieved % of the analytic roofline + classic MFU
+    from kernel_roofline import report_measured
+
+    report_measured(
+        t_full * 1e3, E=n_edges_pad, real_edges=real_edges,
+        N=n_nodes, layers=n_layers, species=len(species),
+    )
+
     # 2. forward-only loss (jitted)
     params = state.params
     bstats = state.batch_stats

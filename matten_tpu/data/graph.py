@@ -102,6 +102,7 @@ def chunk_align_edges(
     edge_block: int,
     capacity: int,
     src_view: bool = True,
+    num_src_nodes: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Re-layout a dst-sorted edge list for the chunked fused kernel.
 
@@ -113,13 +114,21 @@ def chunk_align_edges(
     a masked edge) for the dx backward kernel.
 
     src_view=False skips the source-sorted view (emitted as inert
-    fill-only arrays) — the node-sharded halo layout, where src ids index
-    the gathered GLOBAL node array, only consumes the dst owner map (the
-    v2 merged backward scatters dx into a resident accumulator instead of
-    running the src-sorted v1 machinery).
+    fill-only arrays) — only safe when every consumer stays on the v2
+    resident-node backward (n_src <= RESIDENT_NODES_MAX).
+
+    `num_src_nodes` (default `num_nodes`) sizes the node space the SOURCE
+    ids live in: under node-sharded graph parallelism src ids index the
+    halo-gathered GLOBAL array (num_src_nodes = shards x local nodes) while
+    dst ids are shard-local — the src-sorted view then groups by global
+    source chunk so the v1 dx backward can scatter into a chunked
+    [d1, num_src_nodes] output beyond the VMEM-resident limit.
 
     Returns the replacement edge arrays + the kernel owner maps.
     """
+    if num_src_nodes is None:
+        num_src_nodes = num_nodes
+    assert num_src_nodes % node_chunk == 0, (num_src_nodes, node_chunk)
     assert num_nodes % node_chunk == 0, (num_nodes, node_chunk)
     assert capacity % edge_block == 0, (capacity, edge_block)
     nc = num_nodes // node_chunk
@@ -174,8 +183,9 @@ def chunk_align_edges(
     dummies = np.flatnonzero(~mask)
     assert dummies.size > 0, "chunk alignment requires >= 1 dummy edge slot"
     fill_idx = int(dummies[0])
+    nc_src = num_src_nodes // node_chunk
     src_perm = np.full(capacity, fill_idx, dtype=np.int32)
-    src_owner = np.full(nb, nc - 1, dtype=np.int32)
+    src_owner = np.full(nb, nc_src - 1, dtype=np.int32)
     if not src_view:
         return {
             K.EDGE_INDEX: ei,
@@ -192,7 +202,7 @@ def chunk_align_edges(
     real_sorted = real_idx[order]
     s_owner = s_owner[order]
     off = 0
-    for c in range(nc):
+    for c in range(nc_src):
         sel = s_owner == c
         k = int(sel.sum())
         end = off + k

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from matten_tpu.data import keys as K
 from matten_tpu.nn.common import IrrepsDictT, irreps_dict, merge_irreps, normal_initializer
 from matten_tpu.ops.irreps import Irreps
-from matten_tpu.ops.scatter import scatter_mean, scatter_sum
+from matten_tpu.ops.scatter import scatter_max, scatter_min, scatter_sum
 from matten_tpu.ops.tensor_product import LinearPlan
 
 
@@ -49,12 +49,18 @@ class NodewiseLinear(nn.Module):
 
 
 class NodewiseReduce(nn.Module):
-    """Masked scatter-reduce of a node field into per-graph features."""
+    """Masked scatter-reduce of a node field into per-graph features.
+
+    Supports sum/mean/min/max like the reference (nn/nodewise.py:120-148,
+    which delegates to torch_scatter). min/max replace masked (dummy) node
+    rows with +/-inf sentinels before the segment reduction and return 0 for
+    graphs with no valid nodes (only possible for all-dummy padding graphs).
+    """
 
     irreps_in: IrrepsDictT
     field: str = K.NODE_FEATURES
     out_field: Optional[str] = None
-    reduce: str = "sum"  # "sum" | "mean"
+    reduce: str = "sum"  # "sum" | "mean" | "min" | "max"
     # shard_map axis over which nodes are sharded: per-graph partial sums
     # are combined across it (node-sharded graph parallelism)
     axis: Optional[str] = None
@@ -86,15 +92,26 @@ class NodewiseReduce(nn.Module):
             if mask is not None
             else jnp.ones(x.shape[0], dtype=x.dtype)
         )
-        num = scatter_sum(x * w[:, None], batch, num_graphs)
-        den = scatter_sum(w, batch, num_graphs)
-        if self.axis is not None and not self.is_initializing():
-            num = jax.lax.psum(num, self.axis)
-            den = jax.lax.psum(den, self.axis)
-        if self.reduce == "sum":
-            out = num
-        elif self.reduce == "mean":
-            out = num / jnp.maximum(den, 1.0)[:, None]
+        if self.reduce in ("sum", "mean"):
+            num = scatter_sum(x * w[:, None], batch, num_graphs)
+            den = scatter_sum(w, batch, num_graphs)
+            if self.axis is not None and not self.is_initializing():
+                num = jax.lax.psum(num, self.axis)
+                den = jax.lax.psum(den, self.axis)
+            out = num if self.reduce == "sum" else num / jnp.maximum(den, 1.0)[:, None]
+        elif self.reduce in ("min", "max"):
+            sentinel = jnp.inf if self.reduce == "min" else -jnp.inf
+            xm = jnp.where(w[:, None] > 0, x, jnp.asarray(sentinel, x.dtype))
+            red = scatter_min if self.reduce == "min" else scatter_max
+            out = red(xm, batch, num_graphs)
+            if self.axis is not None and not self.is_initializing():
+                out = (
+                    jax.lax.pmin(out, self.axis)
+                    if self.reduce == "min"
+                    else jax.lax.pmax(out, self.axis)
+                )
+            # graphs with no valid node anywhere (all-dummy padding) -> 0
+            out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
         else:
             raise ValueError(f"unsupported reduce {self.reduce!r}")
         data[self._out_field] = out

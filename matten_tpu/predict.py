@@ -28,6 +28,7 @@ from matten_tpu.data.transform import MeanNormNormalize
 from matten_tpu.models import create_atomic_tensor_model, create_scalar_tensor_model
 from matten_tpu.nn.embedding import atomic_number_map
 from matten_tpu.ops.cartesian import cartesian_tensor_map
+from matten_tpu.ops.elasticity import ElasticTensor
 from matten_tpu.train.checkpoint import load_sidecar
 
 logger = logging.getLogger(__name__)
@@ -140,7 +141,14 @@ def predict(
                 v = out[j].astype(np.float64)
                 if normalizer is not None:
                     v = np.asarray(normalizer.inverse(v))
-                results.append(np.asarray(cmap.to_cartesian(v)))
+                cart = np.asarray(cmap.to_cartesian(v))
+                if cart.shape == (3, 3, 3, 3):
+                    # structured elasticity output: ndarray subclass adding
+                    # .voigt / VRH moduli (reference predict.py:217-218
+                    # wraps in pymatgen ElasticTensor; ours is own-built,
+                    # with .to_pymatgen() when pymatgen is importable)
+                    cart = ElasticTensor(cart)
+                results.append(cart)
 
     # reinsert None for failed rows (reference predict.py:217-240)
     final: List[Optional[np.ndarray]] = []

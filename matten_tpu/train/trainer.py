@@ -175,14 +175,20 @@ class Trainer:
 
     @staticmethod
     def _make_tx(learning_rate, weight_decay, kind="adam"):
+        # optax.flatten runs the update over ONE concatenated vector instead
+        # of one fusion per param leaf (~160 leaves -> ~0.5 ms of tiny
+        # elementwise kernels per step on v5e; flattened it is a handful of
+        # wide ops). Semantics are identical for elementwise optimizers.
         if kind == "adamw":
             # torch-AdamW semantics: decoupled weight decay
-            return optax.adamw(learning_rate, weight_decay=weight_decay)
+            return optax.flatten(optax.adamw(learning_rate, weight_decay=weight_decay))
         # torch-Adam/SGD semantics: L2 decay added to gradients before update
         opt = {"adam": optax.adam, "sgd": optax.sgd}[kind]
-        return optax.chain(
-            optax.add_decayed_weights(weight_decay),
-            opt(learning_rate),
+        return optax.flatten(
+            optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                opt(learning_rate),
+            )
         )
 
     # ------------------------------------------------------------------

@@ -567,3 +567,162 @@ class TestFusedV2:
         y = mlp.apply(v, x)
         yT = mlp.apply(v, x.T, transposed=True)
         np.testing.assert_allclose(np.asarray(yT.T), np.asarray(y), atol=1e-6)
+
+
+class TestHaloChunked:
+    """v1 chunked machinery with n_in != n_out: halo-gathered node-sharded
+    inputs beyond RESIDENT_NODES_MAX (round-3 verdict weak #4). The dx
+    backward scatters into a chunked [d1, n_in] output driven by the
+    GLOBAL-space src owner map from collation."""
+
+    def _setup(self, rng, n_in=2560, n_out=256, node_chunk=128, block=64,
+               e_real=400):
+        from matten_tpu.data import keys as K
+        from matten_tpu.data.graph import chunk_align_edges
+        from matten_tpu.kernels.fused_conv import EdgeChunks
+
+        ir1 = Irreps("4x0e+2x1o+1x2e")
+        ir2 = Irreps("0e+1o")
+        plan = uvu_tp_plan(ir1, ir2, ir1)
+        nc_src = n_in // node_chunk
+        capacity = (
+            int(np.ceil(e_real / block)) + max(n_out // node_chunk, nc_src) + 1
+        ) * block
+        src = rng.integers(0, n_in, capacity).astype(np.int32)  # GLOBAL ids
+        dst = np.sort(rng.integers(0, n_out, capacity)).astype(np.int32)
+        mask = np.zeros(capacity, dtype=bool)
+        mask[:e_real] = True
+        dst[:e_real] = np.sort(dst[:e_real])
+        fields = chunk_align_edges(
+            np.stack([src, dst]), np.zeros((capacity, 3), np.float32),
+            mask, n_out, node_chunk, block, capacity, num_src_nodes=n_in,
+        )
+        ch = EdgeChunks(
+            jnp.asarray(fields[K.EDGE_DST_CHUNK]),
+            jnp.asarray(fields[K.EDGE_SRC_PERM]),
+            jnp.asarray(fields[K.EDGE_SRC_CHUNK]),
+        )
+        emask = fields[K.EDGE_MASK]
+        s = jnp.asarray(fields[K.EDGE_INDEX][0])
+        d = jnp.asarray(fields[K.EDGE_INDEX][1])
+        x = jnp.asarray(rng.normal(size=(n_in, ir1.dim)), jnp.float32)
+        sh = jnp.asarray(
+            rng.normal(size=(capacity, ir2.dim)) * emask[:, None], jnp.float32
+        )
+        wT = jnp.asarray(
+            (rng.normal(size=(capacity, plan.weight_numel)) * emask[:, None]).T,
+            jnp.float32,
+        )
+        return plan, x, sh, wT, s, d, ch, n_out, node_chunk, block
+
+    def test_halo_chunked_parity_beyond_resident_limit(self):
+        from matten_tpu.kernels.fused_conv import (
+            RESIDENT_NODES_MAX,
+            fused_uvu_conv_t,
+        )
+
+        rng = np.random.default_rng(31)
+        plan, x, sh, wT, s, d, ch, n_out, node_chunk, block = self._setup(rng)
+        assert x.shape[0] > RESIDENT_NODES_MAX  # forces the v1 chunked path
+
+        def fused(x, sh, wT):
+            return fused_uvu_conv_t(
+                plan, x, sh, wT, s, d, chunks=ch, num_nodes_out=n_out,
+                node_chunk=node_chunk, block=block, interpret=True,
+            )
+
+        ref = np.asarray(_reference(plan, x, sh, wT.T, s, d, n_out))
+        np.testing.assert_allclose(np.asarray(fused(x, sh, wT)), ref, atol=1e-5)
+        g1 = jax.grad(lambda *a: (fused(*a) ** 2).sum(), argnums=(0, 2))(x, sh, wT)
+        g2 = jax.grad(
+            lambda a, b, c: (_reference(plan, a, b, c.T, s, d, n_out) ** 2).sum(),
+            argnums=(0, 2),
+        )(x, sh, wT)
+        for a, b in zip(g1, g2):
+            scale = max(float(jnp.abs(b).max()), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4
+            )
+
+    def test_fallback_emits_warning_once(self, caplog):
+        """Dropping to the XLA reference tier must be visible (once per
+        shape), not silent."""
+        import logging as pylogging
+
+        from matten_tpu.kernels import fused_conv
+
+        rng = np.random.default_rng(33)
+        ir1 = Irreps("4x0e+2x1o")
+        ir2 = Irreps("0e+1o")
+        plan = uvu_tp_plan(ir1, ir2, ir1)
+        # chunked layout rejected: n_in not divisible by node_chunk
+        n_in, n_out, node_chunk, block = 24, 16, 8, 8
+        x = jnp.asarray(rng.normal(size=(n_in + 1, ir1.dim)), jnp.float32)
+        e = 16
+        sh = jnp.asarray(rng.normal(size=(e, ir2.dim)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(e, plan.weight_numel)), jnp.float32)
+        s = jnp.asarray(rng.integers(0, n_in, e).astype(np.int32))
+        d = jnp.asarray(np.sort(rng.integers(0, n_out, e)).astype(np.int32))
+        ch = fused_conv.EdgeChunks(
+            jnp.zeros(e // block, jnp.int32),
+            jnp.arange(e, dtype=jnp.int32),
+            jnp.zeros(e // block, jnp.int32),
+        )
+        fused_conv._warned_fallbacks.clear()
+        with caplog.at_level(pylogging.WARNING, logger="matten_tpu.kernels.fused_conv"):
+            for _ in range(2):  # second call must not log again
+                fused_conv.fused_uvu_conv(
+                    plan, x, sh, w, s, d, chunks=ch, num_nodes_out=n_out,
+                    node_chunk=node_chunk, block=block, interpret=True,
+                )
+        msgs = [r for r in caplog.records if "falling back" in r.message]
+        assert len(msgs) == 1
+
+
+def test_v2_bf16_input_storage_close():
+    """bf16 STORAGE of the sh/w edge arrays in the v2 kernels (the
+    set_kernel_in_dtype knob, round-3 verdict weak #8): parity within bf16
+    rounding of the inputs."""
+    from matten_tpu.kernels import fused_tp
+    from matten_tpu.kernels.fused_conv import fused_uvu_conv_t
+
+    rng = np.random.default_rng(41)
+    ir1 = Irreps("8x0e+4x1o+2x2e")
+    ir2 = Irreps("0e+1o+2e")
+    plan = uvu_tp_plan(ir1, ir2, ir1)
+    n, e = 24, 96
+    x = jnp.asarray(rng.normal(size=(n, ir1.dim)), jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(e, ir2.dim)), jnp.float32)
+    wT = jnp.asarray(rng.normal(size=(plan.weight_numel, e)), jnp.float32)
+    src = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    dst = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
+    ref = np.asarray(_reference(plan, x, sh, wT.T, src, dst, n))
+    try:
+        fused_tp.set_kernel_in_dtype("bfloat16")
+        out = np.asarray(
+            fused_uvu_conv_t(
+                plan, x, sh, wT, src, dst, num_nodes_out=n, block=16,
+                interpret=True,
+            )
+        )
+        g = jax.grad(
+            lambda a, b, c: (
+                fused_uvu_conv_t(
+                    plan, a, b, c, src, dst, num_nodes_out=n, block=16,
+                    interpret=True,
+                )
+                ** 2
+            ).sum(),
+            argnums=(0, 2),
+        )(x, sh, wT)
+    finally:
+        fused_tp.set_kernel_in_dtype("float32")
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=3e-2)
+    g_ref = jax.grad(
+        lambda a, b, c: (_reference(plan, a, b, c.T, src, dst, n) ** 2).sum(),
+        argnums=(0, 2),
+    )(x, sh, wT)
+    for a, b in zip(g, g_ref):
+        s = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s, atol=5e-2)

@@ -198,3 +198,39 @@ class TestPointConv:
         out_r = np.asarray(conv.apply(variables, data_r)[K.NODE_FEATURES])
         do = irreps_rotation(out_ir, r)
         np.testing.assert_allclose(out_r, out @ do.T, atol=1e-4)
+
+
+class TestNodewiseReduce:
+    """Masked min/max graph pooling (reference nn/nodewise.py:120-148)."""
+
+    def _run(self, reduce):
+        from matten_tpu.nn.nodewise import NodewiseReduce
+
+        x = jnp.asarray(
+            np.array(
+                [[1.0, -2.0], [3.0, 0.5], [99.0, -99.0], [-4.0, 7.0], [2.0, 2.0]],
+                dtype=np.float32,
+            )
+        )
+        batch = jnp.asarray([0, 0, 0, 1, 1], dtype=jnp.int32)
+        mask = jnp.asarray([1, 1, 0, 1, 1], dtype=jnp.bool_)  # node 2 is dummy
+        data = {
+            K.NODE_FEATURES: x,
+            K.BATCH: batch,
+            K.CELL: jnp.zeros((2, 3, 3)),
+            K.NODE_MASK: mask,
+        }
+        m = NodewiseReduce(
+            irreps_in=freeze_irreps({K.NODE_FEATURES: Irreps("2x0e")}),
+            reduce=reduce,
+        )
+        variables = m.init(jax.random.PRNGKey(0), data)
+        return np.asarray(m.apply(variables, data)[f"{reduce}_{K.NODE_FEATURES}"])
+
+    def test_min_ignores_masked(self):
+        out = self._run("min")
+        np.testing.assert_allclose(out, [[1.0, -2.0], [-4.0, 2.0]])
+
+    def test_max_ignores_masked(self):
+        out = self._run("max")
+        np.testing.assert_allclose(out, [[3.0, 0.5], [2.0, 7.0]])
