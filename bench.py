@@ -107,7 +107,11 @@ def measure_train_throughput(
     data = {k: jnp.asarray(v) for k, v in data.items()}
     targets = {k: jnp.asarray(v) for k, v in targets.items()}
 
-    state, loss, _ = trainer._train_step(state, data, targets)  # compile
+    # compile + warm the dispatch pipeline (the tunneled backend's first
+    # few executes pay a claim/autotune ramp that a short run would fold
+    # into the average; 5 fenced warmup steps amortize it away)
+    for _ in range(5):
+        state, loss, _ = trainer._train_step(state, data, targets)
     float(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -122,7 +126,7 @@ def main():
 
     configure_default_tiers()
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
     rng = np.random.default_rng(0)
     edges_per_s, _, _ = measure_train_throughput(rng, iters=iters)
 

@@ -47,18 +47,25 @@ def main():
     w_l1 = key((lin1.weight_numel,))
     w_l2 = key((lin2.weight_numel,))
 
-    def layer(x, mid, w_sc, w_l1, w_l2, dense=False):
-        f = (lambda p, a, w: p.apply_scalar_dense(a, attrs, w)) if dense else (
-            lambda p, a, w: p.apply(a, attrs, w)
-        )
+    def layer(x, mid, w_sc, w_l1, w_l2, variant="apply"):
+        if variant == "dense":
+            f = lambda p, a, w: p.apply_scalar_dense(a, attrs, w)
+        elif variant == "matmul":
+            f = lambda p, a, w: p.apply_scalar_matmul(a, attrs, w)
+        elif variant == "matmul_bf16":
+            f = lambda p, a, w: p.apply_scalar_matmul(
+                a, attrs, w, operand_dtype=jnp.bfloat16
+            )
+        else:
+            f = lambda p, a, w: p.apply(a, attrs, w)
         a = f(sc, x, w_sc)
         b = f(lin1, x, w_l1)
         c = f(lin2, mid, w_l2)
         return a + c + jnp.pad(b, [(0, 0), (0, a.shape[1] - b.shape[1])])
 
-    def chained(grad_args, dense=False):
+    def chained(grad_args, variant="apply"):
         def loss(x, mid, w_sc, w_l1, w_l2):
-            return (layer(x, mid, w_sc, w_l1, w_l2, dense=dense) ** 2).sum() * 1e-6
+            return (layer(x, mid, w_sc, w_l1, w_l2, variant=variant) ** 2).sum() * 1e-6
 
         if grad_args:
             step = jax.grad(loss, argnums=grad_args)
@@ -90,10 +97,15 @@ def main():
     print(f"sc+lin1+lin2 fwd (1 layer)      : {t_f*1e3:7.3f} ms")
     t_b = timeit(chained((0, 2, 3, 4)), x, mid, w_sc, w_l1, w_l2)
     print(f"sc+lin1+lin2 fwd+bwd (1 layer)  : {t_b*1e3:7.3f} ms")
-    t_fd = timeit(chained((), dense=True), x, mid, w_sc, w_l1, w_l2)
+    t_fd = timeit(chained((), variant="dense"), x, mid, w_sc, w_l1, w_l2)
     print(f"scalar_dense fwd (1 layer)      : {t_fd*1e3:7.3f} ms")
-    t_bd = timeit(chained((0, 2, 3, 4), dense=True), x, mid, w_sc, w_l1, w_l2)
+    t_bd = timeit(chained((0, 2, 3, 4), variant="dense"), x, mid, w_sc, w_l1, w_l2)
     print(f"scalar_dense fwd+bwd (1 layer)  : {t_bd*1e3:7.3f} ms")
+    for variant in ("matmul", "matmul_bf16"):
+        t_fm = timeit(chained((), variant=variant), x, mid, w_sc, w_l1, w_l2)
+        print(f"{variant:15s} fwd (1 layer)   : {t_fm*1e3:7.3f} ms")
+        t_bm = timeit(chained((0, 2, 3, 4), variant=variant), x, mid, w_sc, w_l1, w_l2)
+        print(f"{variant:15s} fwd+bwd         : {t_bm*1e3:7.3f} ms")
 
 
 if __name__ == "__main__":

@@ -20,7 +20,13 @@ from matten_tpu.data.dataset import (
     TensorDatasetConfig,
     load_tensor_dataset,
 )
-from matten_tpu.data.graph import CrystalGraph, PadSpec, collate_graphs
+from matten_tpu.data import keys as K
+from matten_tpu.data.graph import (
+    CrystalGraph,
+    PadSpec,
+    attach_edge_vectors,
+    collate_graphs,
+)
 from matten_tpu.nn.embedding import atomic_number_map
 
 logger = logging.getLogger(__name__)
@@ -325,6 +331,7 @@ class BatchLoader:
         assert n % sg == 0, f"padded nodes {n} not divisible by {sg}"
         c = n // sg
         data = dict(data)
+        data.pop(K.EDGE_VECTORS, None)  # stale plain-layout vectors
         src, dst = data["edge_index"]
         real = data["edge_mask"]
         owner = dst // c
@@ -442,6 +449,7 @@ class BatchLoader:
         assert e % sg == 0, f"padded edges {e} not divisible by {sg} shards"
         c = e // sg
         data = dict(data)
+        data.pop(K.EDGE_VECTORS, None)  # stale plain-layout vectors
         data["edge_index"] = np.transpose(
             data["edge_index"].reshape(2, sg, c), (1, 0, 2)
         )
@@ -495,6 +503,9 @@ class BatchLoader:
                     else:
                         d = self._shard_edges(d)
                     d = self._align_shards(d)
+                    # re-derive edge vectors for the final edge layout
+                    d = dict(d)
+                    attach_edge_vectors(d, dst_local=self.node_shard)
                 shards.append((d, t))
             # ragged tail shards reuse graphs[:1] but zero the masks so they
             # contribute nothing

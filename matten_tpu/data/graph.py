@@ -403,4 +403,52 @@ def collate_graphs(
             out = np.zeros((pad.num_graphs,) + stacked.shape[1:], dtype=dtype)
             out[:ng] = stacked
         targets[key] = out
+
+    attach_edge_vectors(data)
     return data, targets
+
+
+def attach_edge_vectors(data: Dict[str, np.ndarray], dst_local: bool = False) -> None:
+    """Precompute per-edge displacement vectors host-side (f64 math -> f32).
+
+    nn.edge_geometry.with_edge_vectors() early-exits on EDGE_VECTORS, so
+    attaching them at collation removes the on-device per-edge cell gather
+    and shift@cell contraction (~0.5 ms of scalar-unit-bound gathers per
+    production step). Valid because no supported target needs positional
+    gradients — the reference never trains on forces/stress either
+    (its datasets carry tensors only, dataset/structure_scalar_tensor.py).
+
+    Handles every collation layout in place: plain [2, E] and sharded
+    [Sg, 2, cap] edge indices; `dst_local=True` for node-sharded layouts
+    where dst ids are shard-local and src ids index the concatenated
+    [Sg*c] node space. Dummy edges get vec = 0 (the bessel window kills
+    zero-length edges, and SH attrs are edge-masked), preserving the
+    padded-edge inertness contract (DEVNOTES).
+    """
+    ei = data[K.EDGE_INDEX]
+    shift = np.asarray(data[K.EDGE_CELL_SHIFT], dtype=np.float64)
+    pos = np.asarray(data[K.POSITIONS], dtype=np.float64).reshape(-1, 3)
+    cell = np.asarray(data[K.CELL], dtype=np.float64).reshape(-1, 3, 3)
+    batch = np.asarray(data[K.BATCH]).reshape(-1)
+    mask = data[K.EDGE_MASK]
+    if ei.ndim == 2:
+        src, dst = ei[0], ei[1]
+        vec = pos[dst] - pos[src] + np.einsum(
+            "ei,eij->ej", shift, cell[batch[dst]]
+        )
+        data[K.EDGE_VECTORS] = np.where(
+            mask[:, None], vec, 0.0
+        ).astype(np.float32)
+        return
+    sg = ei.shape[0]
+    c = pos.shape[0] // sg
+    vecs = np.zeros(ei.shape[:1] + ei.shape[2:] + (3,), dtype=np.float64)
+    for s in range(sg):
+        src, dst = ei[s, 0], ei[s, 1]
+        dst_g = dst + s * c if dst_local else dst
+        vecs[s] = pos[dst_g] - pos[src] + np.einsum(
+            "ei,eij->ej", shift[s], cell[batch[dst_g]]
+        )
+    data[K.EDGE_VECTORS] = np.where(mask[..., None], vecs, 0.0).astype(
+        np.float32
+    )

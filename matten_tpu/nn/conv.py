@@ -125,6 +125,23 @@ class PointConv(nn.Module):
             idx = jnp.clip(data[K.SPECIES_INDEX], 0, attrs.shape[-1] - 1)
             mask = data.get(K.NODE_MASK)
             apply_sc = lambda x, w, p: p.apply_onehot2(x, idx, w, mask=mask)
+        elif (
+            sc_plan.in2_is_onehot_compatible
+            and lin1_plan.in2_is_onehot_compatible
+            and lin2_plan.in2_is_onehot_compatible
+        ):
+            # small species count: one plain [B*d, u] @ [u, S*w] matmul per
+            # in1 entry beats `apply`'s B-batched tiny-M matmuls on the MXU
+            from matten_tpu.kernels.fused_tp import get_agg_matmul_dtype
+
+            od = (
+                jnp.bfloat16
+                if get_agg_matmul_dtype() == "bfloat16"
+                else None
+            )
+            apply_sc = lambda x, w, p: p.apply_scalar_matmul(
+                x, attrs, w, operand_dtype=od
+            )
         else:
             apply_sc = lambda x, w, p: p.apply(x, attrs, w)
 

@@ -18,7 +18,7 @@ forward pass (path_weight = sqrt(ir_out.dim / fan_in)).
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -249,6 +249,87 @@ class TensorProductPlan:
         return jnp.einsum("...so,...s->...o", y, x2.astype(jnp.float32)).astype(
             dtype
         )
+
+    def apply_scalar_matmul(
+        self,
+        x1: jnp.ndarray,
+        x2: jnp.ndarray,
+        weights: jnp.ndarray,
+        operand_dtype=None,
+    ) -> jnp.ndarray:
+        """FCTP with all-scalar irreps_in2 reshaped into plain MXU matmuls.
+
+        Mathematically identical to `apply(x1, x2, weights)` for ANY x2
+        (one-hot or not): the l (x) 0e -> l CG is delta/sqrt(2l+1), so each
+        instruction is a channel-mixing matrix per scalar channel s. Per
+        in1 entry, the contraction over channels u runs as ONE
+        [B*d, u] @ [u, S*sum(mul_out)] matmul covering all S channels and
+        every instruction of that entry at once, then a cheap fused select
+        against x2 collapses s.
+
+        Why: `apply`'s einsums lower to B-batched [d, u] x [u, w] matmuls
+        whose M dim is the irrep dim (<= 9) — they strand the 128x128 MXU
+        and the step becomes dispatch/shape-bound. This variant keeps
+        M = B*d and N = S*mul_out large. It does S-fold more FLOPs than
+        the per-element minimal contraction, so it is only used at small
+        S (nn.conv gates on S < 16; at S=5 the FLOPs are ~0.2% of MXU
+        peak for a step). `operand_dtype=bfloat16` runs the matmul with
+        bf16 operands (f32 accumulation via preferred_element_type).
+        """
+        assert self.in2_is_onehot_compatible, "plan is not scalar-matmul compatible"
+        dtype = x1.dtype
+        S = self.irreps_in2[0].mul
+        lead = x1.shape[:-1]
+        B = int(np.prod(lead)) if lead else 1
+        x1f = x1.reshape(B, x1.shape[-1])
+        x2f = jnp.broadcast_to(x2, lead + (S,)).reshape(B, S)
+        wsplit = self.split_weights(weights)
+
+        groups: Dict[int, List[int]] = {}
+        for n, ins in enumerate(self.instructions):
+            groups.setdefault(ins.i_in1, []).append(n)
+
+        chunks = [None] * len(self.irreps_out)
+        for i_in1, idxs in groups.items():
+            mul1, ir1 = self.irreps_in1[i_in1]
+            d = ir1.dim
+            c0 = float(wigner_3j(ir1.l, 0, ir1.l)[0, 0, 0])
+            xe = x1f[:, self._in1_slices[i_in1]].reshape(B, mul1, d)
+            xe = jnp.swapaxes(xe, 1, 2).reshape(B * d, mul1)
+            wg, outs = [], []
+            for n in idxs:
+                ins = self.instructions[n]
+                mul_out, ir_out = self.irreps_out[ins.i_out]
+                scale = self.path_weights[n] * c0
+                wg.append(
+                    (wsplit[n] * scale).reshape(mul1, S * mul_out).astype(dtype)
+                )
+                outs.append((ins.i_out, mul_out))
+            wgc = jnp.concatenate(wg, axis=1) if len(wg) > 1 else wg[0]
+            if operand_dtype is not None:
+                y = jax.lax.dot_general(
+                    xe.astype(operand_dtype),
+                    wgc.astype(operand_dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
+            else:
+                y = xe @ wgc
+            off = 0
+            for i_out, mul_out in outs:
+                seg = y[:, off : off + S * mul_out].reshape(B, d, S, mul_out)
+                off += S * mul_out
+                res = jnp.einsum("bdsw,bs->bwd", seg, x2f.astype(seg.dtype))
+                res = res.reshape(B, mul_out * d)
+                chunks[i_out] = res if chunks[i_out] is None else chunks[i_out] + res
+
+        out = []
+        for i, (mul, ir) in enumerate(self.irreps_out):
+            if chunks[i] is None:
+                out.append(jnp.zeros((B, mul * ir.dim), dtype=dtype))
+            else:
+                out.append(chunks[i].astype(dtype))
+        return jnp.concatenate(out, axis=-1).reshape(lead + (self.irreps_out.dim,))
 
     @property
     def in2_is_onehot_compatible(self) -> bool:

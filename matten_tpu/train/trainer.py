@@ -380,6 +380,7 @@ class Trainer:
     EDGE_FIELDS = (
         K.EDGE_INDEX,
         K.EDGE_CELL_SHIFT,
+        K.EDGE_VECTORS,
         K.EDGE_MASK,
         # chunk-aligned layout fields (present when the loader engages the
         # chunked fused kernel; per-shard under graph sharding)

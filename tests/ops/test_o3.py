@@ -199,6 +199,38 @@ class TestTensorProduct:
         np.testing.assert_allclose(a, b, atol=1e-5)
         np.testing.assert_allclose(b[3], 0.0)
 
+    def test_apply_scalar_matmul_matches_apply(self):
+        """Plain-matmul FCTP reformulation == per-path einsums (any x2)."""
+        import jax
+
+        rng = np.random.default_rng(12)
+        attrs_ir = Irreps("5x0e")
+        # multiple in-entries feeding the same out irrep + an out entry
+        # with no incoming path exercise the grouping/zero-fill logic
+        irreps_in = Irreps("8x0e+4x1o+2x2e")
+        irreps_out = Irreps("6x0e+4x1o+3x2e+2x3o")
+        plan = fully_connected_tp_plan(irreps_in, attrs_ir, irreps_out)
+        x = jnp.asarray(rng.normal(size=(7, irreps_in.dim)), dtype=jnp.float32)
+        oh = jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 5, 7)), 5, dtype=jnp.float32
+        )
+        oh = oh.at[3].set(0.0)  # padded row -> zeros in both
+        w = jnp.asarray(rng.normal(size=(plan.weight_numel,)), dtype=jnp.float32)
+        a = np.asarray(plan.apply(x, oh, w))
+        b = np.asarray(plan.apply_scalar_matmul(x, oh, w))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        np.testing.assert_allclose(b[3], 0.0)
+        # generic (non-one-hot) scalar attrs are exact too
+        a2 = jnp.asarray(rng.normal(size=(7, 5)), dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(plan.apply(x, a2, w)),
+            np.asarray(plan.apply_scalar_matmul(x, a2, w)),
+            atol=1e-5,
+        )
+        # bf16 operand tier stays close
+        c = np.asarray(plan.apply_scalar_matmul(x, oh, w, operand_dtype=jnp.bfloat16))
+        np.testing.assert_allclose(a, c, atol=0.05, rtol=0.05)
+
     def test_variance_preservation(self):
         rng = np.random.default_rng(7)
         plan = fully_connected_tp_plan(self.IR1, self.IR2, self.IRO)
