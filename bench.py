@@ -102,23 +102,36 @@ def measure_train_throughput(
     else:
         model = create_scalar_tensor_model(HPARAMS, ds_hparams)
         task = CanonicalRegressionTask(name="elastic_tensor_full")
-    trainer = Trainer(model, [task], TrainerConfig(max_epochs=1, lr=0.01))
+    # scan_steps matches the production config (materials_tensor_production
+    # .yaml trainer.scan_steps): K train steps per dispatch, the path fit()
+    # takes for consecutive same-shape batches
+    scan_k = int(os.environ.get("BENCH_SCAN_STEPS", "8"))
+    trainer = Trainer(
+        model, [task], TrainerConfig(max_epochs=1, lr=0.01, scan_steps=scan_k)
+    )
     state = trainer.init_state((data, targets))
     data = {k: jnp.asarray(v) for k, v in data.items()}
     targets = {k: jnp.asarray(v) for k, v in targets.items()}
 
+    if scan_k > 1:
+        dstack = {k: jnp.broadcast_to(v, (scan_k,) + v.shape) for k, v in data.items()}
+        tstack = {k: jnp.broadcast_to(v, (scan_k,) + v.shape) for k, v in targets.items()}
+        step = lambda st: trainer._train_scan(st, dstack, tstack)
+    else:
+        step = lambda st: trainer._train_step(st, data, targets)
+
     # compile + warm the dispatch pipeline (the tunneled backend's first
     # few executes pay a claim/autotune ramp that a short run would fold
-    # into the average; 5 fenced warmup steps amortize it away)
+    # into the average; 5 fenced warmup dispatches amortize it away)
     for _ in range(5):
-        state, loss, _ = trainer._train_step(state, data, targets)
-    float(loss)
+        state, loss = step(state)[:2]
+    float(jnp.sum(loss))
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss, _ = trainer._train_step(state, data, targets)
-    float(loss)  # fences all queued steps
+        state, loss = step(state)[:2]
+    float(jnp.sum(loss))  # fences all queued steps
     dt = time.perf_counter() - t0
-    return real_edges * iters / dt, data["pos"].shape[0], real_edges
+    return real_edges * iters * scan_k / dt, data["pos"].shape[0], real_edges
 
 
 def main():

@@ -180,7 +180,7 @@ def main():
 
     # --- edge-block sweep (single-acc; the chunked layout pins B=256 at
     # collation) ---
-    if which.startswith("v2b"):
+    if which.startswith("v2b") and which[3:].isdigit():
         blk = int(which[3:])
         conv2b = lambda a, b, c: fused_uvu_conv_t(
             plan, a, b, c, src, dst, num_nodes_out=n, block=blk, interpret=False)

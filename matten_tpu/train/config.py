@@ -90,6 +90,7 @@ def build_trainer_config(config: Dict[str, Any]) -> TrainerConfig:
         save_top_k=ckpt.get("save_top_k", 3),
         checkpoint_dir=tr.get("checkpoint_dir", "checkpoints"),
         seed=config.get("seed_everything", 35),
+        scan_steps=int(tr.get("scan_steps", 1)),
     )
 
 

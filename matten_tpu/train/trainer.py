@@ -102,6 +102,13 @@ class TrainerConfig:
     save_top_k: int = 3
     log_every_epochs: int = 1
     seed: int = 35
+    # dispatch up to this many consecutive same-shape batches as ONE jitted
+    # lax.scan of train steps. On the tunneled TPU backend each dispatch
+    # pays a fixed per-execute cost (~0.3 ms) that a ms-scale step cannot
+    # amortize; scanning K steps per dispatch removes it. Batch order is
+    # preserved (only consecutive batches of identical padded shape are
+    # grouped), so resume-replay determinism is unchanged. 1 disables.
+    scan_steps: int = 1
 
 
 class Trainer:
@@ -134,6 +141,7 @@ class Trainer:
         )
         self.history: List[Dict[str, float]] = []
         self._step_cache: Dict = {}
+        self._train_scan = None  # set for the single-device scan_steps path
         if mesh is not None and dict(mesh.shape).get(graph_axis, 1) > 1:
             # combined data x edge-partition SPMD; steps built lazily per
             # batch key-set (field names determine the sharding specs)
@@ -165,6 +173,10 @@ class Trainer:
         else:
             self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
             self._eval_step = jax.jit(self._eval_step_impl)
+            if config.scan_steps > 1:
+                self._train_scan = jax.jit(
+                    self._train_scan_impl, donate_argnums=(0,)
+                )
         self._ckpt_manager = None
         if config.checkpoint_dir is not None:
             from matten_tpu.train.checkpoint import CheckpointManager
@@ -319,6 +331,20 @@ class Trainer:
         )
         state = self._apply_updates(state, grads, updates)
         return state, loss, metric_sums
+
+    def _train_scan_impl(self, state: TrainState, data_stack: Dict, targets_stack: Dict):
+        """K sequential train steps in one dispatch (lax.scan over stacked
+        batches). Semantically identical to K `_train_step_impl` calls;
+        exists to amortize the tunneled backend's fixed per-dispatch cost
+        (TrainerConfig.scan_steps). Returns per-step losses [K]."""
+
+        def body(st, dt):
+            d, t = dt
+            st, loss, _ = self._train_step_impl(st, d, t)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, (data_stack, targets_stack))
+        return state, losses
 
     def _eval_core(
         self, state: TrainState, data: Dict, targets: Dict, global_mean: bool = False
@@ -528,19 +554,35 @@ class Trainer:
         return data, targets
 
     def _run_eval(self, state: TrainState, loader) -> Dict[str, float]:
-        sums = {t.name: [0.0, 0.0] for t in self.tasks}
-        losses = []
+        # accumulate device-side and read everything back in ONE packed
+        # fetch at the end — each float() is a full round trip on the
+        # tunneled backend (~30 ms), which dominated eval epochs
+        n = 0
+        loss_sum = None
+        sums: Dict[str, list] = {}
         for batch in loader:
             data, targets = self._to_device(batch)
             loss, ms = self._eval_step(state, data, targets)
-            losses.append(float(loss))
+            n += 1
+            loss_sum = loss if loss_sum is None else loss_sum + loss
             for name, (s, c) in ms.items():
-                sums[name][0] += float(s)
-                sums[name][1] += float(c)
-        out = {"loss": float(np.mean(losses)) if losses else float("nan")}
+                if name not in sums:
+                    sums[name] = [s, c]
+                else:
+                    sums[name][0] = sums[name][0] + s
+                    sums[name][1] = sums[name][1] + c
+        if n == 0:
+            return {"loss": float("nan"), "score": 0.0}
+        packed = np.asarray(
+            jnp.stack(
+                [loss_sum]
+                + [jnp.asarray(x, jnp.float32) for t in self.tasks for x in sums[t.name]]
+            )
+        )
+        out = {"loss": float(packed[0]) / n}
         score = 0.0
-        for t in self.tasks:
-            mae = sums[t.name][0] / max(sums[t.name][1], 1.0)
+        for i, t in enumerate(self.tasks):
+            mae = float(packed[1 + 2 * i]) / max(float(packed[2 + 2 * i]), 1.0)
             out[f"mae/{t.name}"] = mae
             score += t.metric_weight * mae
         out["score"] = score
@@ -627,13 +669,51 @@ class Trainer:
             # whether or not training was interrupted before it
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
+            # losses stay device-side until epoch end: a float() readback is
+            # a full round trip on the tunneled backend (~30 ms), so one
+            # fenced readback per epoch instead of one per step
             train_losses = []
             epoch_edges = 0
+            scan_k = self.config.scan_steps if self._train_scan is not None else 1
+            buf, buf_key = [], None
+
+            def _flush(state, buf):
+                # remainder (or scan disabled): plain per-step dispatches
+                for b in buf:
+                    d, t = self._to_device(b)
+                    state, loss, _ = self._train_step(state, d, t)
+                    train_losses.append(jnp.reshape(loss, (1,)))
+                buf.clear()
+                return state
+
             for batch in train_loader:
                 epoch_edges += int(np.asarray(batch[0][K.EDGE_MASK]).sum())
-                data, targets = self._to_device(batch)
-                state, loss, _ = self._train_step(state, data, targets)
-                train_losses.append(float(loss))
+                if scan_k <= 1:
+                    data, targets = self._to_device(batch)
+                    state, loss, _ = self._train_step(state, data, targets)
+                    train_losses.append(jnp.reshape(loss, (1,)))
+                    continue
+                # group CONSECUTIVE batches of identical padded shape into
+                # one scanned dispatch (batch order preserved; a shape
+                # change flushes the buffer as single steps). Stacking is
+                # host-side so the scan is ONE device dispatch + transfer.
+                key = tuple(
+                    sorted((k, np.shape(v)) for k, v in batch[0].items())
+                ) + tuple(sorted((k, np.shape(v)) for k, v in batch[1].items()))
+                if buf and key != buf_key:
+                    state = _flush(state, buf)
+                buf_key = key
+                buf.append(batch)
+                if len(buf) == scan_k:
+                    stacked = (
+                        {k: np.stack([b[0][k] for b in buf]) for k in buf[0][0]},
+                        {k: np.stack([b[1][k] for b in buf]) for k in buf[0][1]},
+                    )
+                    buf.clear()
+                    dstack, tstack = self._to_device(stacked)
+                    state, losses = self._train_scan(state, dstack, tstack)
+                    train_losses.append(losses)
+            state = _flush(state, buf)
 
             val_metrics = self._run_eval(state, val_loader)
             score = val_metrics["score"]
@@ -658,7 +738,9 @@ class Trainer:
             epoch_time = time.time() - t0
             rec = {
                 "epoch": epoch,
-                "train/loss": float(np.mean(train_losses)),
+                "train/loss": float(jnp.mean(jnp.concatenate(train_losses)))
+                if train_losses
+                else float("nan"),
                 "val/loss": val_metrics["loss"],
                 "val/score": score,
                 "lr_scale": self.scheduler.scale if self.scheduler else 1.0,

@@ -94,6 +94,35 @@ class TestTrainer:
         losses = [h["train/loss"] for h in trainer.history]
         assert losses[-1] < losses[0] * 0.9, losses
 
+    def test_scan_steps_matches_per_step_training(self):
+        """scan_steps=K fit == per-step fit exactly (same batches/order)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        dm = _FakeDataModule(rng)
+        model = create_scalar_tensor_model(HPARAMS, dm.get_to_model_info())
+        task = CanonicalRegressionTask(name="elastic_tensor_full")
+        states = []
+        for scan_steps in (1, 2):
+            trainer = Trainer(
+                model,
+                [task],
+                TrainerConfig(
+                    max_epochs=3, lr=0.02, scan_steps=scan_steps, seed=35
+                ),
+            )
+            state = trainer.init_state(next(iter(dm.train_dataloader())))
+            state = trainer.fit(state, dm)
+            states.append(state)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(states[0].params),
+            jax.tree_util.tree_leaves(states[1].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+            )
+
     def test_lr_plateau_and_early_stop_logic(self):
         from matten_tpu.train.trainer import ReduceLROnPlateau
 
