@@ -15,6 +15,7 @@ from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from matten_tpu.nn.radial import normalize2mom
 from matten_tpu.ops.irreps import Irrep, Irreps, tp_path_exists
@@ -127,16 +128,15 @@ class Gate(nn.Module):
             i += mul
         if acted_gates:
             g = jnp.concatenate(acted_gates, axis=-1)  # [..., total_gated_mul]
-            out_gated = []
-            off_feat = 0
-            off_gate = 0
+            # one static-index expansion [gate channel -> component] and a
+            # single elementwise multiply instead of a per-entry
+            # slice/reshape loop (small-op-count tail on TPU)
+            idx, base = [], 0
             for mul, ir in info.irreps_gated:
-                blk = gated[..., off_feat : off_feat + mul * ir.dim]
-                blk = blk.reshape(blk.shape[:-1] + (mul, ir.dim))
-                blk = blk * g[..., off_gate : off_gate + mul, None]
-                out_gated.append(blk.reshape(blk.shape[:-2] + (mul * ir.dim,)))
-                off_feat += mul * ir.dim
-                off_gate += mul
+                idx.append(np.repeat(base + np.arange(mul), ir.dim))
+                base += mul
+            idx = np.concatenate(idx).astype(np.int32)
+            out_gated = [gated * g[..., idx]]
         else:
             out_gated = [gated] if gated.shape[-1] else []
         return jnp.concatenate(out_scalars + out_gated, axis=-1)

@@ -15,15 +15,52 @@ The reference's custom InstanceNorm has a known train/eval bug
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from matten_tpu.ops.irreps import Irreps
 from matten_tpu.ops.scatter import scatter_mean
 
 __all__ = ["IrrepsBatchNorm", "IrrepsInstanceNorm"]
+
+
+@functools.lru_cache(maxsize=None)
+def _bn_meta(irreps: Irreps):
+    """Static component<->feature maps for vectorized irreps batch norm.
+
+    Feature channels are (entry, mul-channel) pairs in entry order —
+    exactly the order the per-entry loop produced, so running-stat and
+    affine parameter layouts are unchanged. Returns:
+      comp2feat [D]  — feature channel of each component (u-major within
+                       an entry: channel index repeats d times)
+      msq_mat [D, F] — one-hot/d matrix: (x^2) @ msq_mat = per-channel
+                       mean square over the entry's d components
+      n_scalars      — leading scalar components (l=0 entries come first
+                       in the sorted activation output irreps)
+    """
+    comp2feat, scal_comp, feat_base, comp_base = [], [], 0, 0
+    for mul, ir in irreps:
+        comp2feat.append(np.repeat(feat_base + np.arange(mul), ir.dim))
+        if ir.l == 0:
+            scal_comp.append(comp_base + np.arange(mul))
+        feat_base += mul
+        comp_base += mul * ir.dim
+    comp2feat = np.concatenate(comp2feat).astype(np.int32)
+    scal_comp = (
+        np.concatenate(scal_comp).astype(np.int32)
+        if scal_comp
+        else np.zeros(0, np.int32)
+    )
+    D, F = comp2feat.shape[0], feat_base
+    msq_mat = np.zeros((D, F), dtype=np.float32)
+    inv_d = np.zeros(F, dtype=np.float64)
+    np.add.at(inv_d, comp2feat, 1.0)
+    msq_mat[np.arange(D), comp2feat] = (1.0 / inv_d)[comp2feat]
+    return comp2feat, msq_mat, scal_comp
 
 
 class IrrepsBatchNorm(nn.Module):
@@ -71,53 +108,50 @@ class IrrepsBatchNorm(nn.Module):
             m = jnp.ones(x.shape[0], dtype=x.dtype)
         count = m.sum()
 
-        new_means = []
-        new_vars = []
-        out = []
-        off = 0
-        i_mean = 0
-        i_feat = 0
-        for mul, ir in irreps:
-            d = ir.dim
-            blk = x[..., off : off + mul * d].reshape(x.shape[:-1] + (mul, d))
-            off += mul * d
-            if ir.l == 0:
-                if use_running_average:
-                    fmean = running_mean.value[i_mean : i_mean + mul]
-                else:
-                    fmean = self._reduce((blk[..., 0] * m[:, None]).sum(0), count)
-                    new_means.append(fmean)
-                blk = blk - fmean.astype(x.dtype)[:, None]
-            if use_running_average:
-                fnorm = running_var.value[i_feat : i_feat + mul]
-            else:
-                # component normalization: mean square per channel over
-                # (real) nodes and m-components
-                fnorm = self._reduce(((blk**2).mean(-1) * m[:, None]).sum(0), count)
-                new_vars.append(fnorm)
-            factor = 1.0 / jnp.sqrt(fnorm.astype(x.dtype) + self.eps)
-            if self.affine:
-                factor = factor * weight[i_feat : i_feat + mul].astype(x.dtype)
-            blk = blk * factor[:, None]
-            if ir.l == 0 and self.affine:
-                blk = blk + bias[i_mean : i_mean + mul].astype(x.dtype)[:, None]
-            if ir.l == 0:
-                i_mean += mul
-            i_feat += mul
-            out.append(blk.reshape(blk.shape[:-2] + (mul * d,)))
+        # vectorized over ALL irrep entries at once via static
+        # component<->feature maps (the per-entry slice/reshape loop was
+        # ~90 tiny ops per layer — a measurable slice of the r4 step's
+        # small-op tail). Statistics/affine layouts match the loop exactly.
+        comp2feat, msq_mat, scal_comp = _bn_meta(irreps)
+        c2f = jnp.asarray(comp2feat)
+        xm = x * m[:, None]
+
+        # scalar means (scalar components == scalar feature channels)
+        if use_running_average:
+            fmean = running_mean.value
+        else:
+            fmean = self._reduce(xm[:, scal_comp].sum(0), count)
+        mean_comp = (
+            jnp.zeros(x.shape[-1], x.dtype)
+            .at[scal_comp]
+            .set(fmean.astype(x.dtype))
+        )
+        xc = x - mean_comp
+
+        if use_running_average:
+            fnorm = running_var.value
+        else:
+            # component normalization: mean square per channel over (real)
+            # nodes and m-components — one [D, F] matmul
+            fnorm = self._reduce(
+                ((xc * xc) * m[:, None]).sum(0) @ jnp.asarray(msq_mat), count
+            )
+        factor = 1.0 / jnp.sqrt(fnorm.astype(x.dtype) + self.eps)
+        if self.affine:
+            factor = factor * weight.astype(x.dtype)
+        out = xc * factor[c2f]
+        if self.affine and scal_comp.size:
+            out = out.at[:, scal_comp].add(bias.astype(x.dtype))
 
         if not use_running_average and not self.is_initializing():
-            if new_means:
-                bm = jnp.concatenate(new_means)
+            if scal_comp.size:
                 running_mean.value = (
-                    (1 - self.momentum) * running_mean.value + self.momentum * bm
+                    (1 - self.momentum) * running_mean.value + self.momentum * fmean
                 )
-            if new_vars:
-                bv = jnp.concatenate(new_vars)
-                running_var.value = (
-                    (1 - self.momentum) * running_var.value + self.momentum * bv
-                )
-        return jnp.concatenate(out, axis=-1)
+            running_var.value = (
+                (1 - self.momentum) * running_var.value + self.momentum * fnorm
+            )
+        return out
 
 
 class IrrepsInstanceNorm(nn.Module):

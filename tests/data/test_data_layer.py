@@ -392,6 +392,45 @@ def test_atom_and_global_feature_pipeline(tmp_path):
     assert float(jnp.abs(out1 - out3).max()) > 1e-4
 
 
+def test_collation_edge_vectors_match_model_fallback():
+    """Host-precomputed EDGE_VECTORS == the model's in-graph computation.
+
+    Collation attaches f64-computed edge vectors so the device skips the
+    per-edge cell gather; the model's with_edge_vectors() fallback must
+    stay in agreement (it is still the source of truth for data dicts
+    built without the loader)."""
+    import jax.numpy as jnp
+
+    from matten_tpu.data import keys as K
+    from matten_tpu.nn.edge_geometry import with_edge_vectors
+
+    rng = np.random.default_rng(7)
+    graphs = []
+    for _ in range(3):
+        s = Structure(
+            lattice=np.eye(3) * 4.0 + rng.normal(size=(3, 3)) * 0.3,
+            frac_coords=rng.uniform(0, 1, size=(5, 3)),
+            atomic_numbers=rng.choice([8, 14], size=5),
+        )
+        g = CrystalGraph.from_structure(s, r_cut=5.0)
+        g.y["elastic_tensor_full"] = rng.normal(size=(1, 21))
+        graphs.append(g)
+    data, _ = collate_graphs(graphs, PadSpec(32, 1024, 8))
+    assert K.EDGE_VECTORS in data
+    # recompute on-device from pos/cell/shift (strip the precomputed key)
+    stripped = {
+        k: jnp.asarray(v) for k, v in data.items() if k != K.EDGE_VECTORS
+    }
+    recomputed = with_edge_vectors(stripped)[K.EDGE_VECTORS]
+    np.testing.assert_allclose(
+        np.asarray(recomputed), data[K.EDGE_VECTORS], atol=5e-6
+    )
+    # dummy edges are zero vectors (inertness contract)
+    np.testing.assert_array_equal(
+        data[K.EDGE_VECTORS][~data[K.EDGE_MASK]], 0.0
+    )
+
+
 def test_neighborlist_analytic_shells():
     """Neighbor lists against analytically known coordination shells.
 
