@@ -54,6 +54,7 @@ class BatchLoader:
         node_chunk: Union[int, str, None] = "auto",
         num_buckets: int = 4,
         batch_by_size: bool = False,
+        precompute_edge_vectors: bool = True,
     ):
         """num_shards > 1 yields stacked per-shard batches [S, ...] for SPMD
         data parallelism (each shard is an independently padded sub-batch
@@ -92,6 +93,9 @@ class BatchLoader:
         self.node_shard = node_shard
         self.ring = ring
         self.batch_by_size = batch_by_size
+        # False for force/stress-style consumers that differentiate w.r.t.
+        # positions (see nn.edge_geometry.with_edge_vectors)
+        self.precompute_edge_vectors = precompute_edge_vectors
         self.seed = seed
         self._rng = np.random.default_rng(seed)
         # pin the per-node/per-graph classification of extra fields over the
@@ -476,6 +480,7 @@ class BatchLoader:
                     self._pick_pad(graphs),
                     species_map=self.species_map,
                     per_node_keys=self._per_node_keys,
+                    precompute_edge_vectors=self.precompute_edge_vectors,
                 )
                 continue
             # strided shard assignment balances per-shard sums (with
@@ -496,6 +501,7 @@ class BatchLoader:
                     pad,
                     species_map=self.species_map,
                     per_node_keys=self._per_node_keys,
+                    precompute_edge_vectors=self.precompute_edge_vectors,
                 )
                 if self.num_edge_shards > 1:
                     if self.node_shard:
@@ -503,9 +509,10 @@ class BatchLoader:
                     else:
                         d = self._shard_edges(d)
                     d = self._align_shards(d)
-                    # re-derive edge vectors for the final edge layout
                     d = dict(d)
-                    attach_edge_vectors(d, dst_local=self.node_shard)
+                    if self.precompute_edge_vectors:
+                        # re-derive edge vectors for the final edge layout
+                        attach_edge_vectors(d, dst_local=self.node_shard)
                 shards.append((d, t))
             # ragged tail shards reuse graphs[:1] but zero the masks so they
             # contribute nothing
@@ -519,6 +526,13 @@ class BatchLoader:
                 if not raw_lists[s]:
                     for key in ("node_mask", "edge_mask", "graph_mask"):
                         data[key][s] = False
+                    # keep the attach_edge_vectors contract (`dummy edges
+                    # get vec = 0`): the masks above are zeroed AFTER the
+                    # vectors were computed, so the tail shard's vectors
+                    # would otherwise stay nonzero (they are inert only
+                    # because SH/radial are edge-masked downstream)
+                    if K.EDGE_VECTORS in data:
+                        data[K.EDGE_VECTORS][s] = 0.0
             yield data, targets
 
 
@@ -691,6 +705,7 @@ class TensorDataModule:
         "node_chunk",
         "drop_last",
         "batch_by_size",
+        "precompute_edge_vectors",
     )
 
     def set_sharding(

@@ -256,6 +256,7 @@ def collate_graphs(
     species_map: Optional[np.ndarray] = None,
     dtype=np.float32,
     per_node_keys: Optional[frozenset] = None,
+    precompute_edge_vectors: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Concatenate + pad a list of graphs into a static-shape batch.
 
@@ -404,7 +405,12 @@ def collate_graphs(
             out[:ng] = stacked
         targets[key] = out
 
-    attach_edge_vectors(data)
+    # set precompute_edge_vectors=False for models that need positional
+    # gradients (force/stress heads): precomputed vectors are constants
+    # w.r.t. POSITIONS (nn.edge_geometry.with_edge_vectors raises loudly
+    # when require_position_gradients meets a precomputed batch)
+    if precompute_edge_vectors:
+        attach_edge_vectors(data)
     return data, targets
 
 

@@ -76,6 +76,7 @@ def create_tfn_backbone(
         irreps_in=irreps,
         irreps_edge_sh=Irreps(hparams["irreps_edge_sh"]),
         gather_axis=gather_axis,
+        require_position_gradients=hparams.get("require_position_gradients", False),
         name="spharm_edges",
     )
     layers.append(m)

@@ -126,7 +126,8 @@ class PointConv(nn.Module):
             mask = data.get(K.NODE_MASK)
             apply_sc = lambda x, w, p: p.apply_onehot2(x, idx, w, mask=mask)
         elif (
-            sc_plan.in2_is_onehot_compatible
+            attrs.shape[-1] < 16
+            and sc_plan.in2_is_onehot_compatible
             and lin1_plan.in2_is_onehot_compatible
             and lin2_plan.in2_is_onehot_compatible
         ):

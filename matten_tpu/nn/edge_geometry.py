@@ -20,15 +20,32 @@ from matten_tpu.ops.irreps import Irreps
 from matten_tpu.ops.spherical_harmonics import spherical_harmonics
 
 
-def with_edge_vectors(data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+def with_edge_vectors(
+    data: Dict[str, jnp.ndarray], require_position_gradients: bool = False
+) -> Dict[str, jnp.ndarray]:
     """Compute edge displacement vectors + lengths (idempotent).
 
     vec(e) = pos[dst] - pos[src] + shift(e) @ cell[batch[src]]
     with src = edge_index[0] (convolution center), dst = edge_index[1]
     (neighbor) — the reference's convention (data/data.py:296-303,
     nn/_nequip.py:236-262). Differentiable w.r.t. pos and cell.
+
+    `require_position_gradients=True` makes the no-positional-gradients
+    contract of host-precomputed EDGE_VECTORS loud: a consumer that needs
+    d(output)/d(pos) — a future force/stress head — must NOT silently use
+    precomputed vectors (they are constants w.r.t. positions), so their
+    presence raises. Configure the datamodule with
+    `precompute_edge_vectors: false` for such heads.
     """
     if K.EDGE_VECTORS in data:
+        if require_position_gradients:
+            raise ValueError(
+                "precomputed EDGE_VECTORS are constants w.r.t. positions, but "
+                "this model requires position gradients "
+                "(require_position_gradients=True). Set the datamodule knob "
+                "precompute_edge_vectors=false so edge vectors are computed "
+                "in-graph from POSITIONS."
+            )
         if K.EDGE_LENGTH not in data:
             data = dict(data)
             data[K.EDGE_LENGTH] = jnp.linalg.norm(data[K.EDGE_VECTORS], axis=-1)
@@ -88,6 +105,9 @@ class SphericalHarmonicEdgeAttrs(nn.Module):
     out_field: str = K.EDGE_ATTRS
     # node-sharding axis: positions are halo-gathered before edge vectors
     gather_axis: str = None
+    # loud contract: error out if precomputed EDGE_VECTORS would silently
+    # zero a needed d(output)/d(positions) (see with_edge_vectors)
+    require_position_gradients: bool = False
 
     @property
     def irreps_out(self) -> IrrepsDictT:
@@ -96,7 +116,9 @@ class SphericalHarmonicEdgeAttrs(nn.Module):
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         data = _maybe_gather_positions(data, self.gather_axis, self.is_initializing())
-        data = with_edge_vectors(data)
+        data = with_edge_vectors(
+            data, require_position_gradients=self.require_position_gradients
+        )
         vec = data[K.EDGE_VECTORS]
         sh = spherical_harmonics(
             Irreps(self.irreps_edge_sh), vec, normalize=True, normalization="component"

@@ -149,6 +149,33 @@ class ElasticTensor(np.ndarray):
             5.0 * self.g_voigt / self.g_reuss + self.k_voigt / self.k_reuss - 6.0
         )
 
+    @property
+    def compliance_full(self) -> np.ndarray:
+        """[3,3,3,3] compliance s_ijkl (Voigt factors 1/2/4 divided out)."""
+        f = np.array([1.0, 1.0, 1.0, 2.0, 2.0, 2.0])
+        s_v = self.compliance_voigt / np.outer(f, f)
+        return voigt_to_full(s_v)
+
+    def directional_young_modulus(self, n: np.ndarray) -> float:
+        """Young's modulus along unit direction n: E(n) = 1 / (s_ijkl n_i n_j n_k n_l).
+
+        The directional stiffness pymatgen's ElasticTensor exposes via
+        `directional_elastic_mod` on the compliance (reference users reach it
+        through predict.py:217-218's pymatgen wrap). Equals `y_mod` for an
+        isotropic tensor in every direction.
+        """
+        n = np.asarray(n, dtype=np.float64)
+        n = n / np.linalg.norm(n)
+        return float(1.0 / np.einsum("ijkl,i,j,k,l->", self.compliance_full, n, n, n, n))
+
+    def linear_compressibility(self, n: np.ndarray) -> float:
+        """Linear compressibility along n: beta(n) = s_ijkk n_i n_j
+        (relative length change per unit hydrostatic pressure; equals
+        1/(3K) in every direction for an isotropic tensor)."""
+        n = np.asarray(n, dtype=np.float64)
+        n = n / np.linalg.norm(n)
+        return float(np.einsum("ijkk,i,j->", self.compliance_full, n, n))
+
     def to_pymatgen(self):
         """Wrap in a pymatgen ElasticTensor when pymatgen is importable
         (it is not in this environment; reference predict.py:217)."""

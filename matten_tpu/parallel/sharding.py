@@ -43,10 +43,13 @@ def make_mesh(
 
 
 def shard_batch(
-    mesh: Mesh, axis: str, data: Dict, targets: Dict
+    mesh: Mesh, axis: str, data: Dict, targets: Dict, scan: bool = False
 ) -> Tuple[Dict, Dict]:
-    """Place a stacked per-shard batch (leading dim = shard count) on the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
+    """Place a stacked per-shard batch (leading dim = shard count) on the mesh.
+
+    `scan=True` for scan_steps stacks [K, S, ...]: the shard axis is dim 1.
+    """
+    sharding = NamedSharding(mesh, P(None, axis) if scan else P(axis))
     put = lambda x: jax.device_put(x, sharding)
     return (
         {k: put(v) for k, v in data.items()},

@@ -71,6 +71,22 @@ def load_pretrained(checkpoint_dir: Union[str, Path]):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
+
+    def _restore(path):
+        try:
+            return ckptr.restore(path)
+        except ValueError:
+            # checkpoint saved on a different topology (e.g. TPU ckpt
+            # restored on CPU): deserialize to plain numpy instead
+            import jax.tree_util as jtu
+
+            meta = ckptr.metadata(path).item_metadata
+            tree = meta.tree if hasattr(meta, "tree") else dict(meta)
+            restore_args = jtu.tree_map(
+                lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree
+            )
+            return ckptr.restore(path, restore_args=restore_args)
+
     # prefer best epoch (from the manager index), fall back to `last`
     import json
 
@@ -79,9 +95,9 @@ def load_pretrained(checkpoint_dir: Union[str, Path]):
         with open(index_path) as f:
             scores = {int(k): float(v) for k, v in json.load(f).items()}
         best = min(scores, key=scores.get)
-        state = ckptr.restore(checkpoint_dir.absolute() / f"epoch_{best}")
+        state = _restore(checkpoint_dir.absolute() / f"epoch_{best}")
     else:
-        state = ckptr.restore(checkpoint_dir.absolute() / "last")
+        state = _restore(checkpoint_dir.absolute() / "last")
     variables = {"params": state["params"]}
     if state.get("batch_stats"):
         variables["batch_stats"] = state["batch_stats"]

@@ -141,16 +141,25 @@ class Trainer:
         )
         self.history: List[Dict[str, float]] = []
         self._step_cache: Dict = {}
-        self._train_scan = None  # set for the single-device scan_steps path
+        # scan_steps multi-step dispatch is available on EVERY path (single
+        # device, data-parallel mesh, graph-sharded mesh): the tunneled
+        # backend's fixed per-dispatch cost is the same regardless of mesh
+        self._train_scan = None
+        self._eval_scan = None
+        scan = config.scan_steps > 1
         if mesh is not None and dict(mesh.shape).get(graph_axis, 1) > 1:
             # combined data x edge-partition SPMD; steps built lazily per
             # batch key-set (field names determine the sharding specs)
             self._train_step = self._spmd_dispatch("train")
             self._eval_step = self._spmd_dispatch("eval")
+            if scan:
+                self._train_scan = self._spmd_dispatch("train_scan")
+                self._eval_scan = self._spmd_dispatch("eval_scan")
         elif mesh is not None:
             from jax.sharding import PartitionSpec as P
 
             rep, sh = P(), P(self.data_axis)
+            sh2 = P(None, self.data_axis)  # [K, S, ...] scan stacks
             self._train_step = jax.jit(
                 jax.shard_map(
                     self._dp_train_step_impl,
@@ -170,13 +179,34 @@ class Trainer:
                     check_vma=False,
                 )
             )
+            if scan:
+                self._train_scan = jax.jit(
+                    jax.shard_map(
+                        self._dp_train_scan_impl,
+                        mesh=mesh,
+                        in_specs=(rep, sh2, sh2),
+                        out_specs=(rep, rep),
+                        check_vma=False,
+                    ),
+                    donate_argnums=(0,),
+                )
+                self._eval_scan = jax.jit(
+                    jax.shard_map(
+                        self._dp_eval_scan_impl,
+                        mesh=mesh,
+                        in_specs=(rep, sh2, sh2),
+                        out_specs=(rep, rep),
+                        check_vma=False,
+                    )
+                )
         else:
             self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
             self._eval_step = jax.jit(self._eval_step_impl)
-            if config.scan_steps > 1:
+            if scan:
                 self._train_scan = jax.jit(
                     self._train_scan_impl, donate_argnums=(0,)
                 )
+                self._eval_scan = jax.jit(self._eval_scan_impl)
         self._ckpt_manager = None
         if config.checkpoint_dir is not None:
             from matten_tpu.train.checkpoint import CheckpointManager
@@ -346,6 +376,18 @@ class Trainer:
         state, losses = jax.lax.scan(body, state, (data_stack, targets_stack))
         return state, losses
 
+    def _eval_scan_impl(self, state: TrainState, data_stack: Dict, targets_stack: Dict):
+        """K eval steps in one dispatch; returns (loss_sum, summed metric
+        (sum, count) pairs) — the accumulation `_run_eval` would do across
+        K per-batch dispatches, without K fixed per-dispatch costs."""
+
+        def body(_, dt):
+            d, t = dt
+            return None, self._eval_step_impl(state, d, t)
+
+        _, (losses, ms) = jax.lax.scan(body, None, (data_stack, targets_stack))
+        return jnp.sum(losses), jax.tree.map(lambda x: jnp.sum(x, axis=0), ms)
+
     def _eval_core(
         self, state: TrainState, data: Dict, targets: Dict, global_mean: bool = False
     ):
@@ -401,6 +443,26 @@ class Trainer:
         loss, ms = self._eval_core(state, data, targets, global_mean=True)
         ms = jax.tree.map(lambda x: jax.lax.psum(x, self.data_axis), ms)
         return loss, ms
+
+    def _dp_train_scan_impl(self, state: TrainState, data_stack: Dict, targets_stack: Dict):
+        """scan_steps under the data-parallel mesh: per-shard local blocks
+        arrive stacked [K, 1, ...]; lax.scan of the per-step body (psums
+        inside) keeps exact step semantics while paying one dispatch."""
+
+        def body(st, dt):
+            d, t = dt
+            st, loss, _ = self._dp_train_step_impl(st, d, t)
+            return st, loss
+
+        return jax.lax.scan(body, state, (data_stack, targets_stack))
+
+    def _dp_eval_scan_impl(self, state: TrainState, data_stack: Dict, targets_stack: Dict):
+        def body(_, dt):
+            d, t = dt
+            return None, self._dp_eval_step_impl(state, d, t)
+
+        _, (losses, ms) = jax.lax.scan(body, None, (data_stack, targets_stack))
+        return jnp.sum(losses), jax.tree.map(lambda x: jnp.sum(x, axis=0), ms)
 
     # ---- combined data x edge-partition SPMD (shard_map, vma-checked) ----
     EDGE_FIELDS = (
@@ -495,8 +557,28 @@ class Trainer:
         )
         return loss, ms
 
+    def _mp_train_scan_impl(self, state: TrainState, data_stack: Dict, targets_stack: Dict):
+        """scan_steps under a graph-sharded mesh (local blocks [K, 1, 1, ...])."""
+
+        def body(st, dt):
+            d, t = dt
+            st, loss, _ = self._mp_train_step_impl(st, d, t)
+            return st, loss
+
+        return jax.lax.scan(body, state, (data_stack, targets_stack))
+
+    def _mp_eval_scan_impl(self, state: TrainState, data_stack: Dict, targets_stack: Dict):
+        def body(_, dt):
+            d, t = dt
+            return None, self._mp_eval_step_impl(state, d, t)
+
+        _, (losses, ms) = jax.lax.scan(body, None, (data_stack, targets_stack))
+        return jnp.sum(losses), jax.tree.map(lambda x: jnp.sum(x, axis=0), ms)
+
     def _spmd_dispatch(self, kind: str):
         from jax.sharding import PartitionSpec as P
+
+        scan = kind.endswith("_scan")
 
         def step(state, data, targets):
             key = (kind, tuple(sorted(data)), tuple(sorted(targets)))
@@ -504,32 +586,30 @@ class Trainer:
                 dax, gax = self.data_axis, self.graph_axis
                 sharded = self._graph_sharded_fields()
                 tsharded = self._node_sharded_target_keys()
-                dspec = {
-                    k: (P(dax, gax) if k in sharded else P(dax)) for k in data
-                }
-                tspec = {
-                    k: (P(dax, gax) if k in tsharded else P(dax)) for k in targets
-                }
+                lead = (None,) if scan else ()
+
+                def spec(k, sset):
+                    dims = (dax, gax) if k in sset else (dax,)
+                    return P(*(lead + dims))
+
+                dspec = {k: spec(k, sharded) for k in data}
+                tspec = {k: spec(k, tsharded) for k in targets}
                 rep = P()
-                if kind == "train":
-                    fn = jax.jit(
-                        jax.shard_map(
-                            self._mp_train_step_impl,
-                            mesh=self.mesh,
-                            in_specs=(rep, dspec, tspec),
-                            out_specs=(rep, rep, rep),
-                        ),
-                        donate_argnums=(0,),
-                    )
-                else:
-                    fn = jax.jit(
-                        jax.shard_map(
-                            self._mp_eval_step_impl,
-                            mesh=self.mesh,
-                            in_specs=(rep, dspec, tspec),
-                            out_specs=(rep, rep),
-                        )
-                    )
+                impl, out, donate = {
+                    "train": (self._mp_train_step_impl, (rep, rep, rep), (0,)),
+                    "eval": (self._mp_eval_step_impl, (rep, rep), ()),
+                    "train_scan": (self._mp_train_scan_impl, (rep, rep), (0,)),
+                    "eval_scan": (self._mp_eval_scan_impl, (rep, rep), ()),
+                }[kind]
+                fn = jax.jit(
+                    jax.shard_map(
+                        impl,
+                        mesh=self.mesh,
+                        in_specs=(rep, dspec, tspec),
+                        out_specs=out,
+                    ),
+                    donate_argnums=donate,
+                )
                 self._step_cache[key] = fn
             return self._step_cache[key](state, data, targets)
 
@@ -543,14 +623,16 @@ class Trainer:
         opt_state = opt_state._replace(hyperparams=hp)
         return state.replace(opt_state=opt_state)
 
-    def _to_device(self, batch):
+    def _to_device(self, batch, scan: bool = False):
         data, targets = batch
         data = {k: jnp.asarray(v) for k, v in data.items()}
         targets = {k: jnp.asarray(v) for k, v in targets.items()}
         if self.mesh is not None:
             from matten_tpu.parallel.sharding import shard_batch
 
-            data, targets = shard_batch(self.mesh, self.data_axis, data, targets)
+            data, targets = shard_batch(
+                self.mesh, self.data_axis, data, targets, scan=scan
+            )
         return data, targets
 
     def _run_eval(self, state: TrainState, loader) -> Dict[str, float]:
@@ -559,20 +641,59 @@ class Trainer:
         # tunneled backend (~30 ms), which dominated eval epochs
         n = 0
         loss_sum = None
-        sums: Dict[str, list] = {}
-        for batch in loader:
-            data, targets = self._to_device(batch)
-            loss, ms = self._eval_step(state, data, targets)
-            n += 1
+        # pre-seed every task so the packing below can't KeyError if a step's
+        # metric dict ever omits one (zero count -> mae 0 as before)
+        sums: Dict[str, list] = {
+            t.name: [jnp.zeros(()), jnp.zeros(())] for t in self.tasks
+        }
+
+        def _accum(loss, ms):
+            nonlocal loss_sum
             loss_sum = loss if loss_sum is None else loss_sum + loss
             for name, (s, c) in ms.items():
-                if name not in sums:
-                    sums[name] = [s, c]
-                else:
-                    sums[name][0] = sums[name][0] + s
-                    sums[name][1] = sums[name][1] + c
+                sums[name][0] = sums[name][0] + s
+                sums[name][1] = sums[name][1] + c
+
+        # group consecutive same-shape batches into one scanned dispatch
+        # (exactly scan_k, so at most 2 programs per bucket shape compile);
+        # partial groups fall back to per-batch dispatches
+        scan_k = self.config.scan_steps if self._eval_scan is not None else 1
+        buf, buf_key = [], None
+
+        def _flush(buf):
+            if len(buf) == scan_k and scan_k > 1:
+                stacked = (
+                    {k: np.stack([b[0][k] for b in buf]) for k in buf[0][0]},
+                    {k: np.stack([b[1][k] for b in buf]) for k in buf[0][1]},
+                )
+                d, t = self._to_device(stacked, scan=True)
+                _accum(*self._eval_scan(state, d, t))
+            else:
+                for b in buf:
+                    d, t = self._to_device(b)
+                    _accum(*self._eval_step(state, d, t))
+            buf.clear()
+
+        for batch in loader:
+            n += 1
+            if scan_k <= 1:
+                data, targets = self._to_device(batch)
+                _accum(*self._eval_step(state, data, targets))
+                continue
+            key = tuple(
+                sorted((k, np.shape(v)) for k, v in batch[0].items())
+            ) + tuple(sorted((k, np.shape(v)) for k, v in batch[1].items()))
+            if buf and key != buf_key:
+                _flush(buf)
+            buf_key = key
+            buf.append(batch)
+            if len(buf) == scan_k:
+                _flush(buf)
+        _flush(buf)
         if n == 0:
-            return {"loss": float("nan"), "score": 0.0}
+            # inf, not 0.0: under min-monitored checkpointing a degenerate
+            # (empty) val loader must never become the "best" checkpoint
+            return {"loss": float("nan"), "score": float("inf")}
         packed = np.asarray(
             jnp.stack(
                 [loss_sum]
@@ -710,7 +831,7 @@ class Trainer:
                         {k: np.stack([b[1][k] for b in buf]) for k in buf[0][1]},
                     )
                     buf.clear()
-                    dstack, tstack = self._to_device(stacked)
+                    dstack, tstack = self._to_device(stacked, scan=True)
                     state, losses = self._train_scan(state, dstack, tstack)
                     train_losses.append(losses)
             state = _flush(state, buf)

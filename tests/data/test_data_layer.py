@@ -508,3 +508,90 @@ def test_ring_slot_capacity_below_conservative():
     cap2 = d_ring["edge_index"].shape[-1] // sg
     old_cap2 = d_ns["edge_index"].shape[-1]
     assert cap2 < old_cap2, (cap2, old_cap2)
+
+
+def _mk_graphs(rng, n, n_atoms=5):
+    out = []
+    for _ in range(n):
+        s = Structure(
+            lattice=np.eye(3) * 4.0 + rng.normal(size=(3, 3)) * 0.3,
+            frac_coords=rng.uniform(0, 1, size=(n_atoms, 3)),
+            atomic_numbers=rng.choice([8, 14], size=n_atoms),
+        )
+        g = CrystalGraph.from_structure(s, r_cut=5.0)
+        g.y["elastic_tensor_full"] = rng.normal(size=(1, 21))
+        out.append(g)
+    return out
+
+
+@pytest.mark.parametrize("node_shard", [False, True])
+def test_sharded_attach_edge_vectors_match_fallback(node_shard):
+    """attach_edge_vectors on the sharded layouts (edge-sharded [Sg,2,cap]
+    and node-sharded dst-local/global-src) == the in-graph with_edge_vectors
+    fallback evaluated on the equivalent plain [2,E] layout (round-4 ADVICE:
+    only the plain layout had a direct host-vs-device test)."""
+    import jax.numpy as jnp
+
+    from matten_tpu.data import keys as K
+    from matten_tpu.data.datamodule import BatchLoader
+    from matten_tpu.nn.edge_geometry import with_edge_vectors
+    from matten_tpu.nn.embedding import atomic_number_map
+
+    rng = np.random.default_rng(13)
+    graphs = _mk_graphs(rng, 4)
+    smap = atomic_number_map([8, 14])
+    loader = BatchLoader(
+        graphs, batch_size=4, species_map=smap, num_shards=2,
+        num_edge_shards=2, node_shard=node_shard,
+        node_multiple=32, edge_multiple=512,
+    )
+    data, _ = next(iter(loader))
+    assert data[K.EDGE_INDEX].ndim == 4  # [Sd, Sg, 2, cap]
+    for s in range(data[K.EDGE_INDEX].shape[0]):
+        d = {k: v[s] for k, v in data.items()}
+        ei = d[K.EDGE_INDEX]
+        vec = d[K.EDGE_VECTORS]
+        pos = d[K.POSITIONS].reshape(-1, 3)
+        batch = d[K.BATCH].reshape(-1)
+        sg = ei.shape[0]
+        c = pos.shape[0] // sg
+        for g in range(sg):
+            src, dst = ei[g, 0], ei[g, 1]
+            dst_g = dst + g * c if node_shard else dst
+            plain = {
+                K.POSITIONS: jnp.asarray(pos),
+                K.EDGE_INDEX: jnp.asarray(np.stack([src, dst_g])),
+                K.EDGE_CELL_SHIFT: jnp.asarray(d[K.EDGE_CELL_SHIFT][g]),
+                K.CELL: jnp.asarray(d[K.CELL]),
+                K.BATCH: jnp.asarray(batch),
+                K.EDGE_MASK: jnp.asarray(d[K.EDGE_MASK][g]),
+            }
+            out = with_edge_vectors(plain)[K.EDGE_VECTORS]
+            np.testing.assert_allclose(
+                np.asarray(out), vec[g], atol=5e-6,
+                err_msg=f"shard {s} group {g} node_shard={node_shard}",
+            )
+
+
+@pytest.mark.parametrize("num_edge_shards", [1, 2])
+def test_tail_shard_edge_vectors_zeroed(num_edge_shards):
+    """Ragged tail shards (masks zeroed after collation) must not carry
+    nonzero EDGE_VECTORS — the attach contract says dummy edges get vec=0
+    (round-4 ADVICE finding at datamodule.py:508)."""
+    from matten_tpu.data import keys as K
+    from matten_tpu.data.datamodule import BatchLoader
+    from matten_tpu.nn.embedding import atomic_number_map
+
+    rng = np.random.default_rng(14)
+    graphs = _mk_graphs(rng, 3)  # 3 graphs over 4 shards -> shard 3 is a tail
+    smap = atomic_number_map([8, 14])
+    loader = BatchLoader(
+        graphs, batch_size=8, species_map=smap, num_shards=4,
+        num_edge_shards=num_edge_shards, node_multiple=32, edge_multiple=512,
+    )
+    data, _ = next(iter(loader))
+    assert not data["graph_mask"][3].any()
+    assert K.EDGE_VECTORS in data
+    np.testing.assert_array_equal(data[K.EDGE_VECTORS][3], 0.0)
+    # and masked (dummy) edges everywhere are zero too
+    np.testing.assert_array_equal(data[K.EDGE_VECTORS][~data["edge_mask"]], 0.0)

@@ -70,6 +70,49 @@ class TestElasticTensor:
         et = ElasticTensor.from_voigt(full_to_voigt(c))
         np.testing.assert_allclose(np.asarray(et), c, atol=1e-12)
 
+    def test_directional_young_isotropic(self):
+        # E(n) is direction-independent and equals E for an isotropic solid
+        lam, mu = 80.0, 30.0
+        et = ElasticTensor(_isotropic_full(lam, mu))
+        rng = np.random.default_rng(5)
+        for _ in range(5):
+            n = rng.normal(size=3)
+            np.testing.assert_allclose(
+                et.directional_young_modulus(n), et.y_mod, rtol=1e-10
+            )
+
+    def test_linear_compressibility_isotropic(self):
+        # beta(n) = 1/(3K) for an isotropic solid; integrates to 1/K volumetric
+        lam, mu = 80.0, 30.0
+        et = ElasticTensor(_isotropic_full(lam, mu))
+        k = lam + 2 * mu / 3
+        rng = np.random.default_rng(6)
+        for _ in range(5):
+            n = rng.normal(size=3)
+            np.testing.assert_allclose(
+                et.linear_compressibility(n), 1.0 / (3.0 * k), rtol=1e-10
+            )
+
+    def test_directional_young_cubic_extremes(self):
+        # cubic crystal: E along <100> is 1/S11; along <111> it is
+        # 1/(S11 - 2*(S11 - S12 - S44/2)/3) (standard textbook result)
+        v = np.zeros((6, 6))
+        c11, c12, c44 = 165.0, 64.0, 79.0  # silicon, GPa
+        v[:3, :3] = c12
+        np.fill_diagonal(v[:3, :3], c11)
+        v[3, 3] = v[4, 4] = v[5, 5] = c44
+        et = ElasticTensor.from_voigt(v)
+        s = et.compliance_voigt
+        e100 = 1.0 / s[0, 0]
+        np.testing.assert_allclose(
+            et.directional_young_modulus([1, 0, 0]), e100, rtol=1e-10
+        )
+        j = s[0, 0] - s[0, 1] - 0.5 * s[3, 3]
+        e111 = 1.0 / (s[0, 0] - 2.0 * j / 3.0)
+        np.testing.assert_allclose(
+            et.directional_young_modulus([1, 1, 1]), e111, rtol=1e-10
+        )
+
     def test_vrh_ordering(self):
         # Reuss <= Hill <= Voigt for a positive-definite stiffness
         rng = np.random.default_rng(4)
