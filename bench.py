@@ -20,13 +20,21 @@ import time
 import numpy as np
 
 
-def build_batch(rng, n_graphs=32, atoms_lo=4, atoms_hi=12, per_atom=False):
+SPECIES_5 = (8, 13, 14, 22, 56)
+# 73-species palette matching the production elasticity set's species count
+# (dataset hand-off allowed_species has 73 entries): exercises the S>=16
+# indexed-gather FCTP path (apply_onehot2) real users hit, vs the S=5
+# scalar-matmul path of the flagship batch (round-4 VERDICT weak #4c).
+SPECIES_73 = tuple(range(3, 76))
+
+
+def build_batch(rng, n_graphs=32, atoms_lo=4, atoms_hi=12, per_atom=False,
+                species=SPECIES_5):
     from matten_tpu.data.datamodule import BatchLoader
     from matten_tpu.data.graph import CrystalGraph
     from matten_tpu.data.structure import Structure
     from matten_tpu.nn.embedding import atomic_number_map
 
-    species = (8, 13, 14, 22, 56)
     graphs = []
     for _ in range(n_graphs):
         n = int(rng.integers(atoms_lo, atoms_hi + 1))
@@ -70,7 +78,8 @@ HPARAMS = dict(
 
 
 def measure_train_throughput(
-    rng, n_graphs=32, atoms_lo=4, atoms_hi=12, per_atom=False, iters=20
+    rng, n_graphs=32, atoms_lo=4, atoms_hi=12, per_atom=False, iters=20,
+    species=SPECIES_5,
 ):
     """edges/s of the full train step (fwd+bwd+Adam) for one model family.
 
@@ -88,7 +97,7 @@ def measure_train_throughput(
 
     data, targets, real_edges, species = build_batch(
         rng, n_graphs=n_graphs, atoms_lo=atoms_lo, atoms_hi=atoms_hi,
-        per_atom=per_atom,
+        per_atom=per_atom, species=species,
     )
     ds_hparams = dict(
         allowed_species=list(species), average_num_neighbors=30.0, atom_feats_size=None
@@ -134,6 +143,64 @@ def measure_train_throughput(
     return real_edges * iters * scan_k / dt, data["pos"].shape[0], real_edges
 
 
+def measure_fit_epoch_throughput(rng, n_batches=8, n_graphs=32, epochs=3):
+    """Epoch-level edges/s through the REAL fit() loop: distinct batches,
+    host-side scan stacking, host->device transfers and the per-epoch eval
+    included (round-4 VERDICT weak #4a — the flagship number times a
+    broadcast-stacked resident batch, which no real epoch gets)."""
+    from matten_tpu.data.datamodule import BatchLoader
+    from matten_tpu.models import create_scalar_tensor_model
+    from matten_tpu.nn.embedding import atomic_number_map
+    from matten_tpu.train import CanonicalRegressionTask, Trainer, TrainerConfig
+    from matten_tpu.data.graph import CrystalGraph
+    from matten_tpu.data.structure import Structure
+
+    graphs = []
+    for _ in range(n_batches * n_graphs):
+        n = int(rng.integers(4, 13))
+        s = Structure(
+            lattice=np.eye(3) * (3.5 + rng.uniform(0, 1.5)) + rng.normal(size=(3, 3)) * 0.1,
+            frac_coords=rng.uniform(0, 1, size=(n, 3)),
+            atomic_numbers=rng.choice(SPECIES_5, size=n),
+        )
+        g = CrystalGraph.from_structure(s, r_cut=5.0)
+        g.y["elastic_tensor_full"] = rng.normal(size=(1, 21))
+        graphs.append(g)
+    smap = atomic_number_map(SPECIES_5)
+
+    class _DM:
+        def _mk(self, shuffle):
+            return BatchLoader(
+                graphs, batch_size=n_graphs, species_map=smap, shuffle=shuffle,
+                num_buckets=1,  # one pad shape -> every epoch scans cleanly
+            )
+
+        def train_dataloader(self):
+            return self._mk(True)
+
+        def val_dataloader(self):
+            return self._mk(False)
+
+    dm = _DM()
+    ds_hparams = dict(
+        allowed_species=list(SPECIES_5), average_num_neighbors=30.0,
+        atom_feats_size=None,
+    )
+    model = create_scalar_tensor_model(HPARAMS, ds_hparams)
+    task = CanonicalRegressionTask(name="elastic_tensor_full")
+    scan_k = int(os.environ.get("BENCH_SCAN_STEPS", "8"))
+    trainer = Trainer(
+        model, [task],
+        TrainerConfig(max_epochs=epochs + 1, lr=0.01, scan_steps=scan_k),
+    )
+    state = trainer.init_state(next(iter(dm.train_dataloader())))
+    trainer.fit(state, dm)
+    # epoch 0 pays compiles; report the post-compile epochs
+    rates = [h["train/edges_per_s"] for h in trainer.history[1:]]
+    times = [h["epoch_time"] for h in trainer.history[1:]]
+    return float(np.mean(rates)), float(np.mean(times))
+
+
 def main():
     from matten_tpu.kernels.fused_tp import configure_default_tiers
 
@@ -163,6 +230,23 @@ def main():
         print(
             f"# extra per-atom NMR ({n_nmr} padded nodes, {e_nmr} real "
             f"edges): {nmr:.0f} edges/s",
+            file=sys.stderr,
+        )
+        s73, n_73, e_73 = measure_train_throughput(
+            np.random.default_rng(3), iters=iters, species=SPECIES_73,
+        )
+        print(
+            f"# extra S=73 species elasticity ({n_73} padded nodes, {e_73} "
+            f"real edges, indexed-FCTP path): {s73:.0f} edges/s",
+            file=sys.stderr,
+        )
+        fit_rate, fit_time = measure_fit_epoch_throughput(
+            np.random.default_rng(4)
+        )
+        print(
+            f"# extra fit()-path epoch throughput (8 distinct batches, host "
+            f"stacking + transfers + eval): {fit_rate:.0f} edges/s "
+            f"({fit_time*1e3:.0f} ms/epoch)",
             file=sys.stderr,
         )
 

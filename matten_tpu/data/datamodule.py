@@ -93,6 +93,22 @@ class BatchLoader:
         self.node_shard = node_shard
         self.ring = ring
         self.batch_by_size = batch_by_size
+        if batch_by_size and len(graphs) <= 4 * batch_size:
+            # single sort window -> the size sort fully determines batch
+            # membership, identical every epoch. BatchNorm-based models then
+            # memorize per-batch statistics: train loss keeps falling while
+            # eval quality plateaus (measured on the n=100 elasticity set:
+            # stuck at 5.5 GPa vs 0.5 GPa with random batches — DEVNOTES r5).
+            logger.warning(
+                "batch_by_size with a dataset that fits one sort window "
+                "(%d graphs <= 4*batch_size=%d): batch membership becomes "
+                "deterministic across epochs; models with batch "
+                "normalization can overfit per-batch statistics and eval "
+                "quality degrades. Use batch_by_size: false for small "
+                "datasets.",
+                len(graphs),
+                4 * batch_size,
+            )
         # False for force/stress-style consumers that differentiate w.r.t.
         # positions (see nn.edge_geometry.with_edge_vectors)
         self.precompute_edge_vectors = precompute_edge_vectors

@@ -91,6 +91,7 @@ def build_trainer_config(config: Dict[str, Any]) -> TrainerConfig:
         checkpoint_dir=tr.get("checkpoint_dir", "checkpoints"),
         seed=config.get("seed_everything", 35),
         scan_steps=int(tr.get("scan_steps", 1)),
+        save_last_every_epochs=int(tr.get("save_last_every_epochs", 1)),
     )
 
 

@@ -351,3 +351,42 @@ class TestPositionGradientContract:
         d, t = trainer._to_device(batch)
         _, loss, _ = trainer._train_step(state, d, t)
         assert np.isfinite(float(loss))
+
+
+class TestSaveLastThrottle:
+    def test_save_last_every_n_epochs(self, tmp_path):
+        """save_last_every_epochs=3: `last` lands on epochs 2 and 5 (1-based
+        multiples of 3) plus always the final epoch; resume from it replays
+        the remaining schedule exactly like the every-epoch default."""
+        import json
+
+        rng = np.random.default_rng(31)
+        dm = _FakeDataModule(rng)
+        model = create_scalar_tensor_model(HPARAMS, dm.get_to_model_info())
+        task = CanonicalRegressionTask(name="elastic_tensor_full")
+        trainer = Trainer(
+            model, [task],
+            TrainerConfig(
+                max_epochs=7, lr=0.02,
+                checkpoint_dir=str(tmp_path / "ck"),
+                save_last_every_epochs=3,
+            ),
+        )
+        state = trainer.init_state(next(iter(dm.train_dataloader())), rng_seed=0)
+        trainer.fit(state, dm)
+        with open(tmp_path / "ck" / "loop_state.json") as f:
+            loop = json.load(f)
+        # final epoch always saved
+        assert loop["epoch"] == 6
+        # resume picks up from the saved epoch
+        t2 = Trainer(
+            model, [task],
+            TrainerConfig(
+                max_epochs=9, lr=0.02,
+                checkpoint_dir=str(tmp_path / "ck"),
+                save_last_every_epochs=3,
+            ),
+        )
+        template = t2.init_state(next(iter(dm.train_dataloader())), rng_seed=1)
+        t2.fit(template, dm, resume=True)
+        assert [h["epoch"] for h in t2.history] == [7, 8]
