@@ -27,7 +27,8 @@ def main():
     from matten_tpu.ops.irreps import Irreps
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n, n_species = 384, 5
+    n = 384
+    n_species = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     feats = Irreps("32x0o+32x0e+16x1o+16x1e+4x2o+4x2e+2x3o+2x3e+2x4e")
     sh_ir = Irreps("0e+1o+2e+3o+4e")
     sc, lin1, uvu, lin2 = _conv_plans(feats, Irreps(f"{n_species}x0e"), sh_ir, feats)
@@ -40,9 +41,8 @@ def main():
     key = lambda shape: jnp.asarray(rng.normal(size=shape), jnp.float32)
     x = key((n, feats.dim))
     mid = key((n, uvu.irreps_out.dim))
-    attrs = jax.nn.one_hot(
-        jnp.asarray(rng.integers(0, n_species, n)), n_species, dtype=jnp.float32
-    )
+    sp_idx = jnp.asarray(rng.integers(0, n_species, n))
+    attrs = jax.nn.one_hot(sp_idx, n_species, dtype=jnp.float32)
     w_sc = key((sc.weight_numel,))
     w_l1 = key((lin1.weight_numel,))
     w_l2 = key((lin2.weight_numel,))
@@ -56,6 +56,8 @@ def main():
             f = lambda p, a, w: p.apply_scalar_matmul(
                 a, attrs, w, operand_dtype=jnp.bfloat16
             )
+        elif variant == "onehot2":
+            f = lambda p, a, w: p.apply_onehot2(a, sp_idx, w)
         else:
             f = lambda p, a, w: p.apply(a, attrs, w)
         a = f(sc, x, w_sc)
@@ -101,7 +103,7 @@ def main():
     print(f"scalar_dense fwd (1 layer)      : {t_fd*1e3:7.3f} ms")
     t_bd = timeit(chained((0, 2, 3, 4), variant="dense"), x, mid, w_sc, w_l1, w_l2)
     print(f"scalar_dense fwd+bwd (1 layer)  : {t_bd*1e3:7.3f} ms")
-    for variant in ("matmul", "matmul_bf16"):
+    for variant in ("matmul", "matmul_bf16", "onehot2"):
         t_fm = timeit(chained((), variant=variant), x, mid, w_sc, w_l1, w_l2)
         print(f"{variant:15s} fwd (1 layer)   : {t_fm*1e3:7.3f} ms")
         t_bm = timeit(chained((0, 2, 3, 4), variant=variant), x, mid, w_sc, w_l1, w_l2)

@@ -50,7 +50,8 @@ SPECIES = 5  # bench batch; production elasticity set has 73
 # the trace reconciled (round-4 VERDICT weak #2: "84%" and "24% of device
 # time is overhead the model ignores" can't both be the headline).
 # Update alongside the DEVNOTES step anatomy when the trace changes.
-MEASURED_OVERHEAD_MS = 1.06  # r4 trace: 758 reshapes 0.30 + misc 0.28 + copies 0.24 + rest
+MEASURED_OVERHEAD_MS = 1.16  # r5 trace: 650 reshapes 0.29 + ~570 copies 0.26
+# + async 0.11 + concat 0.05 + ~0.45 misc small fusions (DEVNOTES r5)
 
 
 def _vr(rows, B):
