@@ -595,3 +595,24 @@ def test_tail_shard_edge_vectors_zeroed(num_edge_shards):
     np.testing.assert_array_equal(data[K.EDGE_VECTORS][3], 0.0)
     # and masked (dummy) edges everywhere are zero too
     np.testing.assert_array_equal(data[K.EDGE_VECTORS][~data["edge_mask"]], 0.0)
+
+
+def test_batch_by_size_single_window_warns(caplog):
+    """batch_by_size on a dataset that fits one sort window must warn
+    loudly (deterministic batch membership degrades BatchNorm training —
+    DEVNOTES r5 quality record)."""
+    import logging
+
+    from matten_tpu.data.datamodule import BatchLoader
+    from matten_tpu.nn.embedding import atomic_number_map
+
+    rng = np.random.default_rng(15)
+    graphs = _mk_graphs(rng, 6)
+    smap = atomic_number_map([8, 14])
+    with caplog.at_level(logging.WARNING):
+        BatchLoader(graphs, batch_size=4, species_map=smap, batch_by_size=True)
+    assert any("batch membership" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        BatchLoader(graphs, batch_size=1, species_map=smap, batch_by_size=True)
+    assert not any("batch membership" in r.message for r in caplog.records)
