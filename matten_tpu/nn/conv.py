@@ -108,28 +108,46 @@ class PointConv(nn.Module):
         w_lin1 = self.param("w_lin1", normal_initializer(), (lin1_plan.weight_numel,))
         w_lin2 = self.param("w_lin2", normal_initializer(), (lin2_plan.weight_numel,))
 
-        # node_attrs is the species one-hot (SpeciesEmbedding); when the
-        # species index is available, gather per-species weight matrices
-        # instead of contracting against the S-wide one-hot (S-fold FLOPs)
-        # the gather only beats the one-hot contraction when the species
-        # count is large (the real elasticity set has ~70 species; the
-        # contraction wins for a handful)
-        onehot = (
-            K.SPECIES_INDEX in data
-            and attrs.shape[-1] >= 16
-            and sc_plan.in2_is_onehot_compatible
+        # node_attrs is the species one-hot (SpeciesEmbedding). Path choice
+        # (r5, measured on v5e at the production S=73): the per-species
+        # weight-table GATHER (apply_onehot2) loses to the plain einsum
+        # contraction — its backward is an arbitrary-index scatter-add into
+        # the [u, S, w] tables plus per-step bf16 casts/layout copies of
+        # table-sized arrays (2.36M vs 3.17M edges/s full-step). The
+        # S-fold-FLOP einsum is noise on the MXU at these sizes. Gather
+        # stays available for species counts where S-fold FLOPs would
+        # actually bite (MATTEN_ONEHOT_GATHER_MIN_S, default effectively
+        # off); small S uses the MXU-shaped scalar matmul.
+        import os
+
+        gather_min_s = int(os.environ.get("MATTEN_ONEHOT_GATHER_MIN_S", "100000"))
+        compat = (
+            sc_plan.in2_is_onehot_compatible
             and lin1_plan.in2_is_onehot_compatible
             and lin2_plan.in2_is_onehot_compatible
         )
-        if onehot:
+        if (
+            compat
+            and K.SPECIES_INDEX in data
+            and attrs.shape[-1] >= gather_min_s
+        ):
             idx = jnp.clip(data[K.SPECIES_INDEX], 0, attrs.shape[-1] - 1)
             mask = data.get(K.NODE_MASK)
             apply_sc = lambda x, w, p: p.apply_onehot2(x, idx, w, mask=mask)
+        elif compat and attrs.shape[-1] >= 16:
+            # plain einsum against the S-wide one-hot; mask keeps parity
+            # with apply_onehot2's padded-node zeroing
+            mask = data.get(K.NODE_MASK)
+
+            def apply_sc(x, w, p):
+                res = p.apply(x, attrs, w)
+                if mask is not None:
+                    res = res * mask[:, None].astype(res.dtype)
+                return res
+
         elif (
             attrs.shape[-1] < 16
-            and sc_plan.in2_is_onehot_compatible
-            and lin1_plan.in2_is_onehot_compatible
-            and lin2_plan.in2_is_onehot_compatible
+            and compat
         ):
             # small species count: one plain [B*d, u] @ [u, S*w] matmul per
             # in1 entry beats `apply`'s B-batched tiny-M matmuls on the MXU

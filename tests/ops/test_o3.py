@@ -199,6 +199,27 @@ class TestTensorProduct:
         np.testing.assert_allclose(a, b, atol=1e-5)
         np.testing.assert_allclose(b[3], 0.0)
 
+    def test_apply_onehot2_matches_masked_apply(self):
+        """Indexed weight-table gather == plain one-hot contraction with
+        padded rows masked (the r5 conv default for S >= 16 swaps the
+        gather for the masked apply; both must stay exact)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(13)
+        S = 21
+        attrs_ir = Irreps(f"{S}x0e")
+        irreps = Irreps("8x0e+4x1o+2x2e")
+        plan = fully_connected_tp_plan(irreps, attrs_ir, irreps)
+        x = jnp.asarray(rng.normal(size=(9, irreps.dim)), dtype=jnp.float32)
+        idx = jnp.asarray(rng.integers(0, S, 9))
+        mask = jnp.asarray(rng.integers(0, 2, 9), dtype=bool)
+        w = jnp.asarray(rng.normal(size=(plan.weight_numel,)), dtype=jnp.float32)
+        oh = jax.nn.one_hot(idx, S, dtype=jnp.float32)
+        ref = np.asarray(plan.apply(x, oh, w)) * np.asarray(mask)[:, None]
+        got = np.asarray(plan.apply_onehot2(x, idx, w, mask=mask))
+        np.testing.assert_allclose(ref, got, atol=1e-5)
+
     def test_apply_scalar_matmul_matches_apply(self):
         """Plain-matmul FCTP reformulation == per-path einsums (any x2)."""
         import jax
