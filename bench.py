@@ -23,8 +23,8 @@ import numpy as np
 SPECIES_5 = (8, 13, 14, 22, 56)
 # 73-species palette matching the production elasticity set's species count
 # (dataset hand-off allowed_species has 73 entries): exercises the S>=16
-# indexed-gather FCTP path (apply_onehot2) real users hit, vs the S=5
-# scalar-matmul path of the flagship batch (round-4 VERDICT weak #4c).
+# masked plain-contraction FCTP path real users hit (r5: replaced the
+# indexed gather, +34%), vs the S=5 scalar-matmul path of the flagship.
 SPECIES_73 = tuple(range(3, 76))
 
 
